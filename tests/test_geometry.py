@@ -221,10 +221,14 @@ class TestEDWarp:
         rot_end = R[1] @ (pts[1] - g[1]) + g[1]
         assert jnp.linalg.norm(warped[0] - pts[0]) < 0.05
         assert jnp.linalg.norm(warped[1] - rot_end) < 0.05
-        # midpoint displacement lies strictly between the endpoint ones
-        mid_disp = jnp.linalg.norm(warped[2] - pts[2])
-        end_disp = jnp.linalg.norm(rot_end - pts[1])
-        assert 0.0 < float(mid_disp) < float(end_disp)
+        # midpoint blends the two node transforms with its actual weights
+        w_mid = np.asarray(w[2])
+        a_mid = np.asarray(anchors[2])
+        contrib = [
+            np.asarray(R[a] @ (pts[2] - g[a]) + g[a] + t[a]) for a in a_mid
+        ]
+        expected = w_mid[0] * contrib[0] + w_mid[1] * contrib[1]
+        np.testing.assert_allclose(warped[2], expected, atol=1e-5)
 
 
 class TestSkinning:
