@@ -266,4 +266,6 @@ class MotionCompletionRunner:
             jnp.int32(n),
             pyramid,
         )
-        return np.asarray(motion[:n]), np.asarray(conf[:n, 0])
+        # fetch the full padded arrays and slice on host — slicing the
+        # device array with a frame-varying n would recompile per count
+        return np.asarray(motion)[:n], np.asarray(conf)[:n, 0]
