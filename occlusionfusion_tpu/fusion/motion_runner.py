@@ -81,9 +81,9 @@ def pad_pyramid(
         cap = level_sizes[l]
         src = np.repeat(np.arange(cap, dtype=np.int32), k_l)
         dst = np.zeros((cap, k_l), np.int32)
-        dst[:n_l] = nn.astype(np.int32)
+        dst[:n_l] = np.maximum(nn.astype(np.int32), 0)
         mask = np.zeros((cap, k_l), bool)
-        mask[:n_l] = True
+        mask[:n_l] = nn >= 0  # -1 entries = missing neighbors (pad slots)
         edge_src.append(jnp.asarray(src))
         edge_dst.append(jnp.asarray(dst.reshape(-1)))
         edge_mask.append(jnp.asarray(mask.reshape(-1)))
