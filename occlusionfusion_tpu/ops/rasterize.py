@@ -1,0 +1,63 @@
+"""Point-splat depth / silhouette rasterizer.
+
+TPU-native replacement for the reference's pytorch3d point rasterizer +
+alpha compositor (``NonRigidICP/model/point_render.py:36-133``), which the
+N-ICP solver uses only to form silhouette / projective-depth costs. Here:
+project points, then z-buffer via ``segment_min`` over pixel ids with an
+optional splat radius — one scatter op, fully jittable and differentiable
+(subgradient flows to the depth-winning point, adequate for the cost
+terms).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.geometry.camera import Intrinsics
+
+_FAR = 1e9
+
+
+def render_depth(
+    points: jnp.ndarray,
+    intr: Intrinsics,
+    image_hw: tuple[int, int],
+    point_valid: jnp.ndarray | None = None,
+    splat_radius: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Splat [P, 3] camera-frame points into a depth map.
+
+    Returns (depth [H, W] with 0 where empty, mask [H, W] bool).
+    splat_radius r covers the (2r+1)^2 pixel neighborhood per point
+    (r=1 approximates pytorch3d's radius splat used by the reference).
+    """
+    H, W = image_hw
+    z = points[:, 2]
+    valid = z > 1e-6
+    if point_valid is not None:
+        valid = valid & point_valid
+    zs = jnp.where(valid, z, 1.0)
+    u = points[:, 0] / zs * intr.fx + intr.cx
+    v = points[:, 1] / zs * intr.fy + intr.cy
+    u0 = jnp.round(u).astype(jnp.int32)
+    v0 = jnp.round(v).astype(jnp.int32)
+
+    offsets = [
+        (dy, dx)
+        for dy in range(-splat_radius, splat_radius + 1)
+        for dx in range(-splat_radius, splat_radius + 1)
+    ]
+    depth = jnp.full((H * W,), _FAR, points.dtype)
+    for dy, dx in offsets:
+        px = u0 + dx
+        py = v0 + dy
+        ok = valid & (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        flat = jnp.where(ok, py * W + px, H * W)  # shadow bucket for invalid
+        contrib = jnp.where(ok, z, _FAR)
+        splat = jax.ops.segment_min(
+            contrib, flat, num_segments=H * W + 1, indices_are_sorted=False
+        )[: H * W]
+        depth = jnp.minimum(depth, splat)
+    mask = depth < _FAR
+    return jnp.where(mask, depth, 0.0).reshape(H, W), mask.reshape(H, W)
