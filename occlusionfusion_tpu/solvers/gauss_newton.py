@@ -1,0 +1,223 @@
+"""Gauss-Newton embedded-deformation solver (matrix-free, LM-damped).
+
+TPU-native re-design of the reference's differentiable GN solver
+(``model/model.py`` ``DeformNet``: GN loop at ``:1296-1537``, fusion-path
+variant ``optimize`` with the motion term at ``:603-612``, jacobians
+``:426-534``, ARAP ``:554-601``, LU solve ``:640-711``): per-node (R, t)
+from point/flow/ARAP/motion residuals, Levenberg-Marquardt damping, a
+fixed iteration budget.
+
+Where the reference hand-assembles jacobian blocks and runs a dense LU
+with a hand-written backward (``LinearSolverLU``, ``model/model.py:59-86``),
+this solver never materializes J: the normal equations
+(J^T J + lm I) dx = -J^T r are solved by conjugate gradients whose matvec
+is a jvp/vjp composition through the residual function. That keeps memory
+at O(P) regardless of node count, lets XLA fuse the entire iteration into
+one compiled scan, and stays exact for the quadratic model. Rotation
+updates retract on the manifold: R <- exp(dw) R (the reference uses
+kornia's exp map the same way, ``model/model.py:1522-1526``).
+
+Failure guards mirrored from the reference (``model/model.py:1465-1516``):
+non-finite solutions fall back to a zero step; the iteration count is
+static so XLA compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.geometry.so3 import so3_exp
+from occlusionfusion_tpu.geometry.edwarp import ed_warp
+
+
+class GNConfig(NamedTuple):
+    iters: int = 10  # model.py:93 (gn_num_iter)
+    cg_iters: int = 32
+    lm_damping: float = 1e-4
+    w_point: float = 1.0
+    w_arap: float = 2.0
+    w_motion: float = 0.0
+    step_length: float = 1.0
+
+
+class GNProblem(NamedTuple):
+    """Static-shape problem data (padded + masked)."""
+
+    source_points: jnp.ndarray  # [P, 3]
+    point_anchors: jnp.ndarray  # [P, K]
+    point_weights: jnp.ndarray  # [P, K]
+    target_points: jnp.ndarray  # [P, 3] per-point 3D targets
+    point_valid: jnp.ndarray  # [P] (correspondence validity weights in [0,1])
+    nodes: jnp.ndarray  # [N, 3]
+    node_valid: jnp.ndarray  # [N]
+    edges: jnp.ndarray  # [N, K_e] -1 padded
+    edge_weights: jnp.ndarray  # [N, K_e]
+    motion_targets: jnp.ndarray  # [N, 3]
+    motion_confidence: jnp.ndarray  # [N]
+    solve_node_mask: jnp.ndarray  # [N] True = free variable, False = frozen
+
+
+class GNResult(NamedTuple):
+    rotations: jnp.ndarray
+    translations: jnp.ndarray
+    warped_points: jnp.ndarray
+    residual_history: jnp.ndarray  # [iters] total squared residual
+    valid: jnp.ndarray  # scalar bool: all iterations finite
+
+
+def _residuals(params, problem: GNProblem, config: GNConfig, base_R):
+    """Stacked weighted residual vector as a pytree of arrays.
+
+    params = (dw [N,3], t [N,3]); rotation is exp(dw) @ base_R so the
+    linearization point is the identity tangent.
+    """
+    dw, t = params
+    R = jnp.einsum("nij,njk->nik", so3_exp(dw), base_R, precision="highest")
+    warped = ed_warp(
+        problem.source_points,
+        problem.nodes,
+        R,
+        t,
+        problem.point_anchors,
+        problem.point_weights,
+    )
+    sw = jnp.sqrt(jnp.asarray(config.w_point, jnp.float32))
+    point_res = (
+        sw
+        * problem.point_valid[:, None]
+        * (warped - problem.target_points)
+    )
+
+    e = jnp.maximum(problem.edges, 0)
+    g_i = problem.nodes[:, None]
+    g_j = problem.nodes[e]
+    rotated = jnp.einsum("nij,nkj->nki", R, g_j - g_i, precision="highest")
+    arap = rotated + g_i + t[:, None] - g_j - t[e]
+    wa = jnp.sqrt(
+        jnp.asarray(config.w_arap, jnp.float32)
+        * jnp.where(problem.edges >= 0, problem.edge_weights, 0.0)
+    )
+    arap_res = wa[..., None] * arap
+
+    res = {"point": point_res, "arap": arap_res}
+    if config.w_motion:
+        wm = jnp.sqrt(
+            jnp.asarray(config.w_motion, jnp.float32)
+        ) * problem.motion_confidence[:, None]
+        res["motion"] = wm * (
+            problem.nodes + t - problem.motion_targets
+        ) * problem.node_valid[:, None]
+    return res
+
+
+def _tree_dot(a, b):
+    return sum(
+        jnp.sum(x * y) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def _mask_params(params, problem):
+    """Zero updates of frozen / padded nodes."""
+    mask = (problem.solve_node_mask & problem.node_valid)[:, None].astype(
+        jnp.float32
+    )
+    return (params[0] * mask, params[1] * mask)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def solve(
+    problem: GNProblem,
+    config: GNConfig = GNConfig(),
+    init_rotations: jnp.ndarray | None = None,
+    init_translations: jnp.ndarray | None = None,
+) -> GNResult:
+    n = problem.nodes.shape[0]
+    R0 = (
+        init_rotations
+        if init_rotations is not None
+        else jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+    )
+    t0 = (
+        init_translations
+        if init_translations is not None
+        else jnp.zeros((n, 3), jnp.float32)
+    )
+
+    def gn_step(carry, _):
+        R, t, ok = carry
+        zero = (jnp.zeros((n, 3), jnp.float32), t)
+
+        def res_fn(params):
+            return _residuals(params, problem, config, R)
+
+        r0 = res_fn(zero)
+        sq = _tree_dot(r0, r0)
+
+        # b = -J^T r ; matvec(v) = J^T J v + lm v, all matrix-free
+        _, vjp_fn = jax.vjp(res_fn, zero)
+
+        def jtj(v):
+            v = _mask_params(v, problem)
+            _, jv = jax.jvp(res_fn, (zero,), (v,))
+            (jtjv,) = vjp_fn(jv)
+            jtjv = _mask_params(jtjv, problem)
+            return (
+                jtjv[0] + config.lm_damping * v[0],
+                jtjv[1] + config.lm_damping * v[1],
+            )
+
+        (b,) = vjp_fn(r0)
+        b = _mask_params((-b[0], -b[1]), problem)
+
+        def cg_body(state, _):
+            x, r, p, rs = state
+            Ap = jtj(p)
+            alpha = rs / jnp.maximum(_tree_dot(p, Ap), 1e-20)
+            x = (x[0] + alpha * p[0], x[1] + alpha * p[1])
+            r = (r[0] - alpha * Ap[0], r[1] - alpha * Ap[1])
+            rs_new = _tree_dot(r, r)
+            beta = rs_new / jnp.maximum(rs, 1e-20)
+            p = (r[0] + beta * p[0], r[1] + beta * p[1])
+            return (x, r, p, rs_new), None
+
+        x0 = (jnp.zeros_like(b[0]), jnp.zeros_like(b[1]))
+        (x, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, b, b, _tree_dot(b, b)), None, length=config.cg_iters
+        )
+
+        # x is the GN step (delta_w, delta_t) about the point (0, t)
+        dw = x[0] * config.step_length
+        dt = x[1] * config.step_length
+        finite = jnp.all(jnp.isfinite(dw)) & jnp.all(jnp.isfinite(dt))
+        dw = jnp.where(finite, dw, 0.0)
+        dt = jnp.where(finite, dt, 0.0)
+        R_new = jnp.einsum("nij,njk->nik", so3_exp(dw), R, precision="highest")
+        t_new = t + dt
+        return (R_new, t_new, ok & finite), sq
+
+    (R, t, ok), hist = jax.lax.scan(
+        gn_step, (R0, t0, jnp.bool_(True)), None, length=config.iters
+    )
+
+    warped = ed_warp(
+        problem.source_points,
+        problem.nodes,
+        R,
+        t,
+        problem.point_anchors,
+        problem.point_weights,
+    )
+    eye = jnp.eye(3, dtype=jnp.float32)
+    R = jnp.where(problem.node_valid[:, None, None], R, eye)
+    t = jnp.where(problem.node_valid[:, None], t, 0.0)
+    return GNResult(
+        rotations=R,
+        translations=t,
+        warped_points=warped,
+        residual_history=hist,
+        valid=ok,
+    )
