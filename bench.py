@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark: motion-completion demo throughput (BASELINE config 1).
+
+Runs the fully-jitted per-frame motion-completion step (rigid factor-out,
+normalization, history buffer, LSTM+GNN, postprocess) over the reference
+demo fixture (or a synthetic equivalent when the fixture is absent) and
+prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+vs_baseline is measured against the driver's north-star real-time target
+of 30 fps dynamic fusion (BASELINE.md): value / 30.
+"""
+
+import json
+import os
+import time
+from glob import glob
+
+import numpy as np
+
+REF_INPUT = "/root/reference/data/input"
+BASELINE_FPS = 30.0
+
+
+def load_frames(limit):
+    frames = []
+    node_files = sorted(glob(os.path.join(REF_INPUT, "node", "*.npy")))[:limit]
+    for nf_path in node_files:
+        frame_id = os.path.basename(nf_path).split(".")[0]
+        nf = np.load(nf_path)
+        pyd = dict(np.load(os.path.join(REF_INPUT, "graph", f"{frame_id}.npz")))
+        frames.append((nf, pyd))
+    return frames
+
+
+def synthetic_frames(limit, n_nodes=227):
+    rng = np.random.RandomState(0)
+    sizes = [n_nodes, 55, 17, 6]
+    ks = (8, 6, 4, 3)
+    pyd = {}
+    for l in range(4):
+        pyd[f"nn_index_l{l}"] = rng.randint(
+            0, sizes[l], size=(sizes[l], ks[l])
+        ).astype(np.int16)
+    for i in (1, 2, 3):
+        pyd[f"down_sample_idx{i}"] = np.sort(
+            rng.choice(sizes[i - 1], size=sizes[i], replace=False)
+        ).astype(np.int16)
+        pyd[f"up_sample_idx{i}"] = rng.randint(
+            0, sizes[i], size=sizes[i - 1]
+        ).astype(np.int16)
+    frames = []
+    pos = rng.randn(n_nodes, 3).astype(np.float32) * 0.2
+    for _ in range(limit):
+        nf = np.zeros((n_nodes, 7), np.float32)
+        nf[:, :3] = pos
+        nf[:, 3:6] = rng.randn(n_nodes, 3) * 0.004
+        nf[:, 6] = (rng.rand(n_nodes) > 0.3).astype(np.float32)
+        frames.append((nf, pyd))
+    return frames
+
+
+def main():
+    from occlusionfusion_tpu.fusion.motion_runner import MotionCompletionRunner
+
+    try:
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_motion_complete_params,
+        )
+
+        params = load_motion_complete_params()
+    except Exception:
+        from occlusionfusion_tpu.models.motion_complete import init_params
+        import jax
+
+        params = init_params(jax.random.PRNGKey(0))
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "200"))
+    if os.path.isdir(REF_INPUT):
+        frames = load_frames(n_frames)
+    else:
+        frames = synthetic_frames(n_frames)
+
+    runner = MotionCompletionRunner(params)
+
+    def run(nf, pyd):
+        return runner.run_frame(
+            node_pos=nf[:, :3],
+            node_motion=nf[:, 3:6],
+            visible=nf[:, -1] > 0.5,
+            nn_indexes=[pyd[f"nn_index_l{l}"] for l in range(4)],
+            down_idxs=[pyd[f"down_sample_idx{i}"] for i in (1, 2, 3)],
+            up_idxs=[pyd[f"up_sample_idx{i}"] for i in (1, 2, 3)],
+        )
+
+    # warmup (compile)
+    for nf, pyd in frames[:3]:
+        run(nf, pyd)
+
+    t0 = time.perf_counter()
+    for nf, pyd in frames[3:]:
+        run(nf, pyd)
+    dt = time.perf_counter() - t0
+    n = len(frames) - 3
+    fps = n / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "motion_completion_demo_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
