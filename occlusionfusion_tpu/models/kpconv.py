@@ -67,14 +67,15 @@ def grid_subsample(
     output ordering is stable under padding.
     """
     P = points.shape[0]
-    coords = jnp.floor(points / voxel).astype(jnp.int64)
-    # hash voxel id (collisions astronomically unlikely within a cloud)
+    coords = jnp.floor(points / voxel).astype(jnp.int32).astype(jnp.uint32)
+    # spatial hash (uint32 wraparound; collisions merge distant voxels with
+    # vanishing probability at cloud scale — benign for subsampling)
     h = (
-        coords[:, 0] * 73856093
-        + coords[:, 1] * 19349669
-        + coords[:, 2] * 83492791
+        coords[:, 0] * jnp.uint32(73856093)
+        ^ coords[:, 1] * jnp.uint32(19349669)
+        ^ coords[:, 2] * jnp.uint32(83492791)
     )
-    h = jnp.where(valid, h, jnp.int64(2**62))  # invalid -> own bucket
+    h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))  # invalid -> one bucket
     # unique via sort
     order = jnp.argsort(h)
     hs = h[order]
