@@ -228,6 +228,112 @@ def motion_step(
     return new_state, (motion_out, confidence[:, None])
 
 
+# ---------------------------------------------------------------------------
+# packed frame interface: exactly TWO host->device transfers per frame.
+# The per-frame arrays are tiny (~100 KB) but each transfer costs fixed
+# dispatch latency (2 ms through the axon tunnel — measured), so the 17
+# separate pyramid arrays dominate the 1 ms device step. Packing the ints
+# into one vector and the floats into one [N0, 7] matrix takes the frame
+# cost from ~75 ms to ~5 ms.
+
+
+def _packed_layout(level_sizes=LEVEL_SIZES, ks=LEVEL_KS):
+    """Static int-vector layout: [n_levels(4) | edge_dst per level |
+    down(3) | up(3)], padding encoded as -1."""
+    offsets = {}
+    off = 4
+    for l, (cap, k) in enumerate(zip(level_sizes, ks)):
+        offsets[f"nn{l}"] = (off, cap * k)
+        off += cap * k
+    for i in (1, 2, 3):
+        offsets[f"down{i}"] = (off, level_sizes[i])
+        off += level_sizes[i]
+    for i in (1, 2, 3):
+        offsets[f"up{i}"] = (off, level_sizes[i - 1])
+        off += level_sizes[i - 1]
+    return offsets, off
+
+
+_PACK_OFFSETS, _PACK_LEN = _packed_layout()
+
+
+def pack_frame(
+    node_pos: np.ndarray,
+    node_motion: np.ndarray,
+    visible: np.ndarray,
+    nn_indexes,
+    down_idxs,
+    up_idxs,
+    level_sizes=LEVEL_SIZES,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side packing -> (ints [L], floats [N0, 7])."""
+    offsets, total = _PACK_OFFSETS, _PACK_LEN
+    ints = np.full((total,), -1, np.int32)
+    ints[0:4] = [nn.shape[0] for nn in nn_indexes]
+    for l, nn in enumerate(nn_indexes):
+        off, ln = offsets[f"nn{l}"]
+        k = nn.shape[1]
+        block = np.full((level_sizes[l], k), -1, np.int32)
+        block[: nn.shape[0]] = nn.astype(np.int32)
+        ints[off : off + ln] = block.reshape(-1)
+    for i, d in zip((1, 2, 3), down_idxs):
+        off, ln = offsets[f"down{i}"]
+        ints[off : off + d.shape[0]] = d.astype(np.int32)
+    for i, u in zip((1, 2, 3), up_idxs):
+        off, ln = offsets[f"up{i}"]
+        ints[off : off + u.shape[0]] = u.astype(np.int32)
+    n = node_pos.shape[0]
+    floats = np.zeros((level_sizes[0], 7), np.float32)
+    floats[:n, :3] = node_pos
+    floats[:n, 3:6] = node_motion
+    floats[:n, 6] = visible.astype(np.float32)
+    return ints, floats
+
+
+def _unpack_pyramid(ints: jnp.ndarray, level_sizes=LEVEL_SIZES, ks=LEVEL_KS):
+    offsets, _ = _PACK_OFFSETS, _PACK_LEN
+    edge_src, edge_dst, edge_mask = [], [], []
+    for l, (cap, k) in enumerate(zip(level_sizes, ks)):
+        off, ln = offsets[f"nn{l}"]
+        dst = jax.lax.dynamic_slice_in_dim(ints, off, ln)
+        mask = dst >= 0
+        src = jnp.repeat(jnp.arange(cap, dtype=jnp.int32), k)
+        edge_src.append(src)
+        edge_dst.append(jnp.maximum(dst, 0))
+        edge_mask.append(mask)
+    down, up = [], []
+    for i in (1, 2, 3):
+        off, ln = offsets[f"down{i}"]
+        down.append(jnp.maximum(jax.lax.dynamic_slice_in_dim(ints, off, ln), 0))
+    for i in (1, 2, 3):
+        off, ln = offsets[f"up{i}"]
+        up.append(jnp.maximum(jax.lax.dynamic_slice_in_dim(ints, off, ln), 0))
+    node_mask = jnp.arange(level_sizes[0]) < ints[0]
+    return PyramidBatch(
+        edge_src=tuple(edge_src),
+        edge_dst=tuple(edge_dst),
+        edge_mask=tuple(edge_mask),
+        down_idx=tuple(down),
+        up_idx=tuple(up),
+        node_mask=node_mask,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def motion_step_packed(params, state: MotionRunnerState, ints: jnp.ndarray,
+                       floats: jnp.ndarray):
+    pyramid = _unpack_pyramid(ints)
+    return motion_step(
+        params,
+        state,
+        floats[:, :3],
+        floats[:, 3:6],
+        floats[:, 6] > 0.5,
+        ints[0],
+        pyramid,
+    )
+
+
 class MotionCompletionRunner:
     """Host-facing wrapper: pads per-frame inputs, drives motion_step."""
 
@@ -249,22 +355,11 @@ class MotionCompletionRunner:
         up_idxs,
     ):
         n = node_pos.shape[0]
-        cap = self.n0_cap
-        pos = np.zeros((cap, 3), np.float32)
-        pos[:n] = node_pos
-        mot = np.zeros((cap, 3), np.float32)
-        mot[:n] = node_motion
-        visp = np.zeros((cap,), bool)
-        visp[:n] = visible
-        pyramid = pad_pyramid(nn_indexes, down_idxs, up_idxs)
-        self.state, (motion, conf) = motion_step(
-            self.params,
-            self.state,
-            jnp.asarray(pos),
-            jnp.asarray(mot),
-            jnp.asarray(visp),
-            jnp.int32(n),
-            pyramid,
+        ints, floats = pack_frame(
+            node_pos, node_motion, visible, nn_indexes, down_idxs, up_idxs
+        )
+        self.state, (motion, conf) = motion_step_packed(
+            self.params, self.state, jnp.asarray(ints), jnp.asarray(floats)
         )
         # fetch the full padded arrays and slice on host — slicing the
         # device array with a frame-varying n would recompile per count
