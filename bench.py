@@ -82,9 +82,10 @@ def main():
         frames = synthetic_frames(n_frames)
 
     runner = MotionCompletionRunner(params)
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
 
-    def run(nf, pyd):
-        return runner.run_frame(
+    def frame_dict(nf, pyd):
+        return dict(
             node_pos=nf[:, :3],
             node_motion=nf[:, 3:6],
             visible=nf[:, -1] > 0.5,
@@ -93,15 +94,16 @@ def main():
             up_idxs=[pyd[f"up_sample_idx{i}"] for i in (1, 2, 3)],
         )
 
-    # warmup (compile)
-    for nf, pyd in frames[:3]:
-        run(nf, pyd)
+    dicts = [frame_dict(nf, pyd) for nf, pyd in frames]
+    # warmup (compile the scan for this chunk size)
+    runner.run_chunk(dicts[:chunk])
+    runner.reset()
 
+    n = (len(dicts) // chunk) * chunk
     t0 = time.perf_counter()
-    for nf, pyd in frames[3:]:
-        run(nf, pyd)
+    for i in range(0, n, chunk):
+        runner.run_chunk(dicts[i : i + chunk])
     dt = time.perf_counter() - t0
-    n = len(frames) - 3
     fps = n / dt
 
     print(

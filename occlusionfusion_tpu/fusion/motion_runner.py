@@ -322,6 +322,35 @@ def _unpack_pyramid(ints: jnp.ndarray, level_sizes=LEVEL_SIZES, ks=LEVEL_KS):
 @functools.partial(jax.jit, donate_argnums=(1,))
 def motion_step_packed(params, state: MotionRunnerState, ints: jnp.ndarray,
                        floats: jnp.ndarray):
+    return _motion_step_packed_impl(params, state, ints, floats)
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def motion_scan(params, state: MotionRunnerState, ints: jnp.ndarray,
+                floats: jnp.ndarray):
+    """Process a CHUNK of frames in one dispatch via lax.scan.
+
+    ints [K, L], floats [K, N0, 7] -> (state, outputs [K, N0, 4]).
+
+    This is the TPU-shaped offline path: per-frame dispatch costs ~45 ms
+    of tunnel round-trip (measured: 41 ms per device->host fetch) while
+    the per-frame compute is 0.2 ms; scanning K frames amortizes the
+    fixed cost K-fold. The carry is exactly the cross-frame state
+    (history ring buffer, sigma chain, previous positions).
+    """
+
+    def body(state, frame):
+        ints_f, floats_f = frame
+        state, (motion, conf) = _motion_step_packed_impl(
+            params, state, ints_f, floats_f
+        )
+        return state, jnp.concatenate([motion, conf], axis=-1)
+
+    state, outs = jax.lax.scan(body, state, (ints, floats))
+    return state, outs
+
+
+def _motion_step_packed_impl(params, state, ints, floats):
     pyramid = _unpack_pyramid(ints)
     return motion_step(
         params,
@@ -364,3 +393,28 @@ class MotionCompletionRunner:
         # fetch the full padded arrays and slice on host — slicing the
         # device array with a frame-varying n would recompile per count
         return np.asarray(motion)[:n], np.asarray(conf)[:n, 0]
+
+    def run_chunk(self, frames: list[dict]):
+        """Process a list of frames in ONE device dispatch (lax.scan).
+
+        Each frame dict carries the run_frame kwargs. Returns a list of
+        (motion [n, 3], confidence [n]) in order. This is the offline /
+        throughput path; run_frame remains for online per-frame use.
+        """
+        ints_list, floats_list, counts = [], [], []
+        for f in frames:
+            ints, floats = pack_frame(
+                f["node_pos"], f["node_motion"], f["visible"],
+                f["nn_indexes"], f["down_idxs"], f["up_idxs"],
+            )
+            ints_list.append(ints)
+            floats_list.append(floats)
+            counts.append(f["node_pos"].shape[0])
+        ints_b = jnp.asarray(np.stack(ints_list))
+        floats_b = jnp.asarray(np.stack(floats_list))
+        self.state, outs = motion_scan(self.params, self.state, ints_b, floats_b)
+        outs = np.asarray(outs)
+        return [
+            (outs[i, : counts[i], :3], outs[i, : counts[i], 3])
+            for i in range(len(frames))
+        ]

@@ -44,11 +44,12 @@ def main():
     if args.frames:
         total = min(total, args.frames)
 
-    t_start = time.perf_counter()
-    for frame_id in range(1, total + 1):
+    chunk = int(os.environ.get("DEMO_CHUNK", "32"))
+
+    def frame_dict(frame_id):
         nf = np.load(os.path.join(node_dir, f"{frame_id:04d}.npy"))
         pyd = np.load(os.path.join(graph_dir, f"{frame_id:04d}.npz"))
-        motion, conf = runner.run_frame(
+        return dict(
             node_pos=nf[:, :3],
             node_motion=nf[:, 3:6],
             visible=nf[:, -1] > 0.5,
@@ -56,21 +57,23 @@ def main():
             down_idxs=[pyd[f"down_sample_idx{i}"] for i in (1, 2, 3)],
             up_idxs=[pyd[f"up_sample_idx{i}"] for i in (1, 2, 3)],
         )
-        np.save(
-            os.path.join(out_dir, f"{frame_id:04d}.npy"),
-            np.hstack([motion, conf[:, None]]).astype(np.float32),
-        )
-        if frame_id == 1:
-            t_first = time.perf_counter() - t_start
-            print(f"frame 1 (incl. compile): {t_first:.2f}s")
-            t_start = time.perf_counter()
-    n_timed = total - 1
-    if n_timed > 0:
-        dt = time.perf_counter() - t_start
-        print(
-            f"{total} frames; steady-state {n_timed / dt:.1f} frames/s "
-            f"({dt / n_timed * 1e3:.1f} ms/frame)"
-        )
+
+    t_start = time.perf_counter()
+    done = 0
+    for start in range(1, total + 1, chunk):
+        ids = list(range(start, min(start + chunk, total + 1)))
+        outs = runner.run_chunk([frame_dict(i) for i in ids])
+        for frame_id, (motion, conf) in zip(ids, outs):
+            np.save(
+                os.path.join(out_dir, f"{frame_id:04d}.npy"),
+                np.hstack([motion, conf[:, None]]).astype(np.float32),
+            )
+        done += len(ids)
+    dt = time.perf_counter() - t_start
+    print(
+        f"{done} frames incl. IO+compile: {done / dt:.1f} frames/s "
+        f"({dt / max(done, 1) * 1e3:.1f} ms/frame)"
+    )
 
 
 if __name__ == "__main__":
