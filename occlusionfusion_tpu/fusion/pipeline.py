@@ -58,6 +58,9 @@ class FusionConfig:
     graph: GraphConfig = field(default_factory=GraphConfig)
     nicp: NICPConfig = field(default_factory=lambda: NICPConfig(iters=100))
     use_motion_model: bool = True
+    # grow the graph onto newly observed surface every N frames (0 = off;
+    # the reference ships growth disabled in its loop too, fusion.py:185)
+    growth_interval: int = 0
 
 
 class DynamicFusion:
@@ -273,11 +276,55 @@ class DynamicFusion:
             self.intr,
         )
         self.frame_id = frame.index
-        return {
+        info = {
             "final_loss": float(result.final_loss),
             "n_correspondences": int(jnp.sum(corr_valid)),
             "n_visible_nodes": int(jnp.sum(node_visible)),
+            "n_new_nodes": 0,
         }
+
+        # 7. optional graph growth onto newly observed surface
+        if (
+            cfg.growth_interval
+            and frame.index % cfg.growth_interval == 0
+        ):
+            info["n_new_nodes"] = self._grow(frame)
+        return info
+
+    def _grow(self, frame: Frame) -> int:
+        """Extend the graph onto surface not covered by any node
+        (warpfield.py:487-583 equivalent; see fusion/graph_growth.py)."""
+        from occlusionfusion_tpu.fusion.graph_growth import grow_graph
+
+        cfg = self.config
+        # candidates come from the *canonical* mesh: integration has just
+        # written any newly observed surface into the canonical volume
+        verts, _ = self._extract_mesh_host()
+        sel = np.random.RandomState(frame.index).permutation(len(verts))[:20000]
+        res = grow_graph(
+            self.warp,
+            self.node_count,
+            self.edges,
+            self.edge_weights,
+            verts[sel],
+            np.ones(len(sel), bool),
+            cfg.node_coverage,
+        )
+        if res.n_new:
+            self.warp = res.warp
+            self.node_count = res.node_count
+            self.edges = res.edges
+            self.edge_weights = res.edge_weights
+            self.nodes = res.warp.node_positions
+            self.node_valid = res.warp.node_valid
+            # re-skin the caches against the grown graph
+            self.vox_table = W.skin(
+                self.warp, self.vox_points, cfg.node_coverage
+            )
+            self.point_table = W.skin(
+                self.warp, self.model_points, cfg.node_coverage
+            )
+        return res.n_new
 
     # ------------------------------------------------------------------
     def run(self, start: int = 0, end: int | None = None, skip: int = 1):
