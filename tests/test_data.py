@@ -1,0 +1,147 @@
+"""Data-layer tests: binary format round trips, dataset padding, anime
+clips, viz exports, snapshots."""
+
+import os
+
+import numpy as np
+import pytest
+
+from occlusionfusion_tpu.data import formats
+from occlusionfusion_tpu.data.deformingthings4d import (
+    anime_to_depth_sequence,
+    frame_vertices,
+    load_anime,
+    save_anime,
+    trajectory_ate,
+)
+from occlusionfusion_tpu.utils.viz import (
+    flow_to_color,
+    load_ply,
+    save_obj,
+    save_ply,
+)
+from occlusionfusion_tpu.utils.snapshot import (
+    SnapshotManager,
+    load_params,
+    save_pytree,
+)
+
+
+class TestFormats:
+    def test_flow_roundtrip(self, tmp_path):
+        flow = np.random.RandomState(0).randn(2, 6, 8).astype(np.float32)
+        p = str(tmp_path / "a.oflow")
+        formats.save_flow(p, flow)
+        np.testing.assert_array_equal(formats.load_flow(p), flow)
+
+    def test_graph_roundtrip(self, tmp_path):
+        nodes = np.random.RandomState(1).randn(5, 3).astype(np.float32)
+        edges = np.random.RandomState(2).randint(-1, 5, (5, 4)).astype(np.int32)
+        w = np.random.RandomState(3).rand(5, 4).astype(np.float32)
+        formats.save_graph_nodes(str(tmp_path / "n.bin"), nodes)
+        formats.save_graph_edges(str(tmp_path / "e.bin"), edges)
+        formats.save_graph_edges_weights(str(tmp_path / "w.bin"), w)
+        np.testing.assert_array_equal(
+            formats.load_graph_nodes(str(tmp_path / "n.bin")), nodes
+        )
+        np.testing.assert_array_equal(
+            formats.load_graph_edges(str(tmp_path / "e.bin")), edges
+        )
+        np.testing.assert_array_equal(
+            formats.load_graph_edges_weights(str(tmp_path / "w.bin")), w
+        )
+
+    def test_image_roundtrip(self, tmp_path):
+        fi = np.random.RandomState(4).randn(4, 5, 6).astype(np.float32)
+        ii = np.random.RandomState(5).randint(0, 9, (4, 5, 6)).astype(np.int32)
+        formats.save_float_image(str(tmp_path / "f.bin"), fi)
+        formats.save_int_image(str(tmp_path / "i.bin"), ii)
+        np.testing.assert_array_equal(
+            formats.load_float_image(str(tmp_path / "f.bin")), fi
+        )
+        np.testing.assert_array_equal(
+            formats.load_int_image(str(tmp_path / "i.bin")), ii
+        )
+
+
+class TestAnime:
+    def _make_clip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        verts = rng.randn(50, 3).astype(np.float32) * 0.1
+        faces = rng.randint(0, 50, (80, 3)).astype(np.int32)
+        offsets = np.cumsum(
+            np.full((4, 50, 3), 0.01, np.float32), axis=0
+        )
+        p = str(tmp_path / "clip.anime")
+        save_anime(p, verts, faces, offsets)
+        return p, verts, faces, offsets
+
+    def test_roundtrip(self, tmp_path):
+        p, verts, faces, offsets = self._make_clip(tmp_path)
+        v, f, o = load_anime(p)
+        np.testing.assert_array_equal(v, verts)
+        np.testing.assert_array_equal(f, faces)
+        np.testing.assert_array_equal(o, offsets)
+        np.testing.assert_allclose(
+            frame_vertices(v, o, 2), verts + offsets[1]
+        )
+
+    def test_depth_render(self, tmp_path):
+        import jax.numpy as jnp
+
+        from occlusionfusion_tpu.geometry.camera import Intrinsics
+
+        p, *_ = self._make_clip(tmp_path)
+        intr = Intrinsics(
+            jnp.float32(100.0), jnp.float32(100.0),
+            jnp.float32(32.0), jnp.float32(32.0),
+        )
+        depths, gt = anime_to_depth_sequence(p, intr, image_hw=(64, 64))
+        assert depths.shape == (5, 64, 64)
+        assert gt.shape == (5, 50, 3)
+        assert (depths > 0).any()
+
+    def test_ate(self):
+        gt = np.zeros((3, 10, 3))
+        pred = gt + 0.01
+        np.testing.assert_allclose(
+            trajectory_ate(pred, gt), np.sqrt(3) * 0.01, atol=1e-6
+        )
+
+
+class TestVizExport:
+    def test_ply_roundtrip(self, tmp_path):
+        verts = np.random.RandomState(0).randn(10, 3).astype(np.float32)
+        faces = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+        p = str(tmp_path / "m.ply")
+        save_ply(p, verts, faces)
+        v2, f2 = load_ply(p)
+        np.testing.assert_allclose(v2, verts, atol=1e-4)
+        np.testing.assert_array_equal(f2, faces)
+
+    def test_obj_export(self, tmp_path):
+        p = str(tmp_path / "m.obj")
+        save_obj(p, np.zeros((3, 3)), np.asarray([[0, 1, 2]]))
+        assert os.path.getsize(p) > 0
+
+    def test_flow_colorwheel(self):
+        flow = np.zeros((4, 4, 2))
+        flow[..., 0] = 1.0
+        img = flow_to_color(flow)
+        assert img.shape == (4, 4, 3)
+        assert img.dtype == np.uint8
+
+
+class TestSnapshot:
+    def test_params_roundtrip(self, tmp_path):
+        tree = {"a": {"b": np.ones((2, 2)), "c": np.zeros(3)}}
+        p = str(tmp_path / "snap.npz")
+        save_pytree(p, tree)
+        back = load_params(p)
+        np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+
+    def test_time_gate(self, tmp_path):
+        mgr = SnapshotManager(str(tmp_path), min_interval_s=1000)
+        assert mgr.maybe_save("x", {"v": np.ones(2)})
+        assert not mgr.maybe_save("x", {"v": np.ones(2)})
+        assert mgr.maybe_save("x", {"v": np.ones(2)}, force=True)
