@@ -1,0 +1,94 @@
+"""Optical-flow-based correspondences (the DeformNet-runner data path).
+
+Re-design of ``fusion_with_occlusion/run_model.py``
+(``estimate_optical_flow:70-113`` + ``get_predicted_location:115-217``):
+run PWC-Net between the source and target RGB-D frames, lift the 2-D flow
+to 3-D per-pixel targets by bilinearly sampling the target point image at
+the flowed pixel locations, and read off per-node predicted locations
+through the pixel anchors. Feeds the same NICPProblem/GNProblem landmark
+interface as the projective and Lepard sources — the three scene-flow
+sources are interchangeable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.geometry.camera import bilinear_sample
+from occlusionfusion_tpu.models.pwcnet import pwcnet_forward
+
+
+@functools.partial(jax.jit, static_argnames=("flow_scale",))
+def flow_correspondences(
+    pwc_params,
+    source_rgbxyz: jnp.ndarray,  # [6, H, W] source RGB + point image
+    target_rgbxyz: jnp.ndarray,  # [6, H, W]
+    flow_scale: float = 20.0,
+):
+    """Returns (flow [H, W, 2] full-res pixels, target_points [H, W, 3],
+    valid [H, W]).
+
+    Mirrors the reference lift: flow predicted at quarter resolution is
+    upsampled x4 and scaled x20 (``model.py:898-930``), then the target
+    XYZ image is bilinearly sampled at the flowed pixels
+    (``model.py:941-954``); a sample is valid when source depth and the
+    sampled target depth are positive.
+    """
+    H, W = source_rgbxyz.shape[1:]
+    im1 = source_rgbxyz[None, :3].transpose(0, 2, 3, 1)
+    im2 = target_rgbxyz[None, :3].transpose(0, 2, 3, 1)
+    flow_q, _ = pwcnet_forward(pwc_params, im1, im2)
+    flow = (
+        jax.image.resize(flow_q[0], (H, W, 2), method="bilinear") * flow_scale
+    )
+    v, u = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    uv = jnp.stack([u + flow[..., 0], v + flow[..., 1]], axis=-1)
+    target_xyz = target_rgbxyz[3:].transpose(1, 2, 0)  # [H, W, 3]
+    sampled = bilinear_sample(target_xyz, uv.reshape(-1, 2)).reshape(H, W, 3)
+    inb = (
+        (uv[..., 0] >= 0)
+        & (uv[..., 0] <= W - 1)
+        & (uv[..., 1] >= 0)
+        & (uv[..., 1] <= H - 1)
+    )
+    src_depth = source_rgbxyz[5]
+    valid = inb & (src_depth > 0) & (sampled[..., 2] > 0)
+    return flow, sampled, valid
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes",))
+def predicted_node_locations(
+    target_points: jnp.ndarray,  # [H, W, 3] flow-lifted targets
+    valid: jnp.ndarray,  # [H, W]
+    pixel_anchors: jnp.ndarray,  # [H, W, K] node ids (-1 invalid)
+    pixel_weights: jnp.ndarray,  # [H, W, K]
+    num_nodes: int,
+):
+    """Per-node predicted target location: skinning-weighted mean of the
+    flow targets of the pixels anchored to each node
+    (``run_model.py:115-217``'s node-target reduction).
+
+    Returns (locations [N, 3], observed [N])."""
+    n = num_nodes
+    K = pixel_anchors.shape[-1]
+    flat_anchor = pixel_anchors.reshape(-1)
+    flat_w = (pixel_weights * valid[..., None]).reshape(-1)
+    flat_w = jnp.where(flat_anchor >= 0, flat_w, 0.0)
+    flat_anchor = jnp.maximum(flat_anchor, 0)
+    flat_pts = jnp.repeat(target_points.reshape(-1, 3), K, axis=0)
+    num = jax.ops.segment_sum(
+        flat_pts * flat_w[:, None], flat_anchor, num_segments=n
+    )
+    den = jax.ops.segment_sum(flat_w, flat_anchor, num_segments=n)
+    observed = den > 1e-6
+    locations = jnp.where(
+        observed[:, None], num / jnp.maximum(den[:, None], 1e-6), 0.0
+    )
+    return locations, observed

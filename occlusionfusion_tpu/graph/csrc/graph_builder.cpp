@@ -267,6 +267,74 @@ void geodesic_edges(
 }
 
 // ---------------------------------------------------------------------------
+// geodesic_anchors: for every mesh vertex, its k geodesically nearest
+// graph nodes (+ distances). One bounded Dijkstra per node, maintaining a
+// per-vertex running top-k — the machinery behind pixel-anchor skinning
+// (compute_pixel_anchors_geodesic, csrc/cpu/graph_proc.cpp:533).
+// max_influence <= 0 disables the radius bound.
+void geodesic_anchors(
+    const float* vertices, int n_vertices, const int* faces, int n_faces,
+    const int* node_ids, int n_nodes, int k, float max_influence,
+    int* out_anchors /* [n_vertices*k], -1 pad */,
+    float* out_dists /* [n_vertices*k], inf pad */) {
+  std::vector<std::vector<std::pair<int, float>>> adj(n_vertices);
+  auto add_edge = [&](int a, int b) {
+    float dx = vertices[(size_t)a * 3] - vertices[(size_t)b * 3];
+    float dy = vertices[(size_t)a * 3 + 1] - vertices[(size_t)b * 3 + 1];
+    float dz = vertices[(size_t)a * 3 + 2] - vertices[(size_t)b * 3 + 2];
+    float w = std::sqrt(dx * dx + dy * dy + dz * dz);
+    adj[a].push_back({b, w});
+    adj[b].push_back({a, w});
+  };
+  for (int f = 0; f < n_faces; ++f) {
+    int a = faces[(size_t)f * 3], b = faces[(size_t)f * 3 + 1],
+        c = faces[(size_t)f * 3 + 2];
+    add_edge(a, b);
+    add_edge(b, c);
+    add_edge(a, c);
+  }
+  for (size_t i = 0; i < (size_t)n_vertices * k; ++i) {
+    out_anchors[i] = -1;
+    out_dists[i] = INFINITY;
+  }
+  std::vector<float> dist(n_vertices);
+  for (int nidx = 0; nidx < n_nodes; ++nidx) {
+    std::fill(dist.begin(), dist.end(), INFINITY);
+    using QE = std::pair<float, int>;
+    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+    int src = node_ids[nidx];
+    dist[src] = 0.f;
+    pq.push({0.f, src});
+    while (!pq.empty()) {
+      auto [d, v] = pq.top();
+      pq.pop();
+      if (d > dist[v]) continue;
+      if (max_influence > 0 && d > max_influence) continue;
+      // insert (nidx, d) into vertex v's top-k (sorted by distance)
+      float* vd = &out_dists[(size_t)v * k];
+      int* va = &out_anchors[(size_t)v * k];
+      if (d < vd[k - 1]) {
+        int pos = k - 1;
+        while (pos > 0 && vd[pos - 1] > d) {
+          vd[pos] = vd[pos - 1];
+          va[pos] = va[pos - 1];
+          --pos;
+        }
+        vd[pos] = d;
+        va[pos] = nidx;
+      }
+      for (auto& [u, w] : adj[v]) {
+        float nd = d + w;
+        if (nd < dist[u]) {
+          dist[u] = nd;
+          pq.push({nd, u});
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // compute_clusters: connected components over the node edge lists
 // (edges [n_nodes*k], -1 padded). Writes component id per node; returns
 // number of components. Also writes component sizes into out_sizes (cap

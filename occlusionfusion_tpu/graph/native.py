@@ -56,6 +56,12 @@ def _load():
         i32p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
         i32p, f32p,
     ]
+    lib.geodesic_anchors.restype = None
+    lib.geodesic_anchors.argtypes = [
+        f32p, ctypes.c_int, i32p, ctypes.c_int,
+        i32p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        i32p, f32p,
+    ]
     lib.compute_clusters.restype = ctypes.c_int
     lib.compute_clusters.argtypes = [i32p, ctypes.c_int, ctypes.c_int, i32p, i32p]
     lib.marching_cubes.restype = ctypes.c_int
@@ -155,6 +161,26 @@ def geodesic_edges(
         _ptr(edges, ctypes.c_int32), _ptr(dists, ctypes.c_float),
     )
     return edges, dists
+
+
+def geodesic_anchors(
+    vertices, faces, node_ids, k: int = 4, max_influence: float = 0.0
+):
+    """Per-vertex k geodesically nearest nodes: (anchors [V, k] int32
+    (-1 pad), dists [V, k] f32 (inf pad)). Backs pixel-anchor skinning
+    (compute_pixel_anchors_geodesic, csrc/cpu/graph_proc.cpp:533)."""
+    lib = _load()
+    v = _f32(vertices)
+    f = _i32(faces)
+    ids = _i32(node_ids)
+    anchors = np.empty((v.shape[0], k), np.int32)
+    dists = np.empty((v.shape[0], k), np.float32)
+    lib.geodesic_anchors(
+        _ptr(v, ctypes.c_float), v.shape[0], _ptr(f, ctypes.c_int32), f.shape[0],
+        _ptr(ids, ctypes.c_int32), ids.shape[0], k, ctypes.c_float(max_influence),
+        _ptr(anchors, ctypes.c_int32), _ptr(dists, ctypes.c_float),
+    )
+    return anchors, dists
 
 
 def compute_clusters(edges: np.ndarray):

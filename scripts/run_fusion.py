@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Dynamic non-rigid fusion CLI.
+
+Equivalent of the reference's main product CLI
+(``fusion_with_occlusion/fusion.py:226-258``): fuse an RGB-D sequence
+directory (color/ depth/ [mask/] intrinsics.txt) into a TSDF through the
+estimated warp field, with occlusion-aware motion completion.
+
+Example:
+  python scripts/run_fusion.py --datadir /path/to/seq --voxel_size 0.005 \
+      --results out/ --export_mesh_every 10
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datadir", required=True)
+    ap.add_argument("--results", default="results")
+    ap.add_argument("--voxel_dim", type=int, default=128)
+    ap.add_argument("--voxel_size", type=float, default=0.005)
+    ap.add_argument("--node_coverage", type=float, default=0.05)
+    ap.add_argument("--source_frame", type=int, default=0)
+    ap.add_argument("--end_frame", type=int, default=0, help="0 = all")
+    ap.add_argument("--skip_rate", type=int, default=1)
+    ap.add_argument("--nicp_iters", type=int, default=100)
+    ap.add_argument("--max_nodes", type=int, default=512)
+    ap.add_argument("--max_points", type=int, default=8192)
+    ap.add_argument("--growth_interval", type=int, default=0)
+    ap.add_argument("--no_motion_model", action="store_true")
+    ap.add_argument("--export_mesh_every", type=int, default=0)
+    args = ap.parse_args()
+
+    from occlusionfusion_tpu.fusion.frame_loader import RGBDSequence
+    from occlusionfusion_tpu.fusion.pipeline import DynamicFusion, FusionConfig
+    from occlusionfusion_tpu.graph.edgraph import GraphConfig
+    from occlusionfusion_tpu.solvers.nicp import NICPConfig
+    from occlusionfusion_tpu.utils.viz import save_ply
+
+    motion_params = None
+    if not args.no_motion_model:
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_motion_complete_params,
+        )
+
+        try:
+            motion_params = load_motion_complete_params()
+        except FileNotFoundError:
+            print("no motion-completion weights; running without")
+
+    config = FusionConfig(
+        vol_dim=(args.voxel_dim,) * 3,
+        voxel_size=args.voxel_size,
+        node_coverage=args.node_coverage,
+        max_nodes=args.max_nodes,
+        max_points=args.max_points,
+        graph=GraphConfig(node_coverage=args.node_coverage),
+        nicp=NICPConfig(iters=args.nicp_iters),
+        use_motion_model=motion_params is not None,
+        growth_interval=args.growth_interval,
+    )
+    seq = RGBDSequence(args.datadir)
+    fusion = DynamicFusion(seq, config, motion_params=motion_params)
+
+    os.makedirs(args.results, exist_ok=True)
+    end = args.end_frame or len(seq)
+    t0 = time.perf_counter()
+    fusion.initialize(seq.load(args.source_frame))
+    print(f"initialized: {fusion.node_count} nodes "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    infos = []
+    for i in range(args.source_frame + args.skip_rate, end, args.skip_rate):
+        t0 = time.perf_counter()
+        info = fusion.register_frame(seq.load(i))
+        info["frame"] = i
+        info["seconds"] = round(time.perf_counter() - t0, 3)
+        infos.append(info)
+        print(f"frame {i}: {info}")
+        np.save(
+            os.path.join(args.results, f"deformed_nodes_{i:06d}.npy"),
+            np.asarray(fusion.warp.deformed_nodes)[: fusion.node_count],
+        )
+        if args.export_mesh_every and i % args.export_mesh_every == 0:
+            verts, faces = fusion.get_deformed_mesh()
+            save_ply(
+                os.path.join(args.results, f"mesh_{i:06d}.ply"), verts, faces
+            )
+
+    with open(os.path.join(args.results, "convergence.json"), "w") as fh:
+        json.dump(infos, fh, indent=1)
+    verts, faces = fusion.get_deformed_mesh()
+    save_ply(os.path.join(args.results, "final_mesh.ply"), verts, faces)
+    print(f"done; results in {args.results}")
+
+
+if __name__ == "__main__":
+    main()
