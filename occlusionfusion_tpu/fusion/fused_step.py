@@ -1,0 +1,203 @@
+"""The fused fusion step: one device dispatch per frame.
+
+This is the TPU-shaped core of the engine: the *entire* per-frame hot
+loop of the reference (``fusion.py:120-194`` — correspondence search,
+node visibility, per-node motion observation, occlusion-aware motion
+completion, the 100-200-iteration warp solve, transform update, and
+warp-aware TSDF integration) compiled into a single jitted function over
+a resident ``FusionState`` pytree. Host traffic per frame is exactly one
+upload (depth + color) and an optional tiny info readback — against the
+reference's dozens of numpy<->device round trips per frame
+(``run_model.py:282-331``, SURVEY §5).
+
+The graph-dependent tables (voxel/point skinning, edges, the motion
+pyramid) are device-resident constants between keyframe graph rebuilds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.fusion import tsdf as T
+from occlusionfusion_tpu.fusion import warpfield as W
+from occlusionfusion_tpu.fusion.correspondence import (
+    node_motion_observations,
+    projective_correspondences,
+)
+from occlusionfusion_tpu.fusion.motion_runner import (
+    MotionRunnerState,
+    _unpack_pyramid,
+    motion_step,
+)
+from occlusionfusion_tpu.geometry.camera import Intrinsics
+from occlusionfusion_tpu.solvers import nicp
+
+
+class FusionTables(NamedTuple):
+    """Device-resident per-graph constants (rebuilt at keyframes only)."""
+
+    vox_points: jnp.ndarray  # [V, 3]
+    vox_anchors: jnp.ndarray  # [V, K]
+    vox_weights: jnp.ndarray  # [V, K]
+    vox_valid: jnp.ndarray  # [V]
+    model_points: jnp.ndarray  # [P, 3]
+    model_valid: jnp.ndarray  # [P]
+    point_anchors: jnp.ndarray  # [P, K]
+    point_weights: jnp.ndarray  # [P, K]
+    point_valid: jnp.ndarray  # [P]
+    nodes: jnp.ndarray  # [N, 3]
+    node_valid: jnp.ndarray  # [N]
+    edges: jnp.ndarray  # [N, K_e]
+    edge_weights: jnp.ndarray  # [N, K_e]
+    pyramid_ints: jnp.ndarray  # packed pyramid (motion_runner layout)
+    n_nodes: jnp.ndarray  # scalar int32
+
+
+class FusionStepState(NamedTuple):
+    tsdf: T.TSDFState
+    rotations: jnp.ndarray  # [N, 3, 3] canonical -> current
+    translations: jnp.ndarray  # [N, 3]
+    motion: MotionRunnerState
+
+
+class FusedStepConfig(NamedTuple):
+    tsdf: T.TSDFConfig
+    nicp: nicp.NICPConfig
+    max_depth_diff: float = 0.1
+    use_motion_model: bool = True
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnums=(1,)
+)
+def fused_register_frame(
+    config: FusedStepConfig,
+    state: FusionStepState,
+    tables: FusionTables,
+    motion_params,
+    depth: jnp.ndarray,
+    color: jnp.ndarray,
+    intr: Intrinsics,
+):
+    """One frame, one dispatch. Returns (state, info [4] f32:
+    final_loss, n_correspondences, n_visible_nodes, mean_conf)."""
+    warp = W.WarpFieldState(
+        node_positions=tables.nodes,
+        node_valid=tables.node_valid,
+        rotations=state.rotations,
+        translations=state.translations,
+    )
+    point_table = W.SkinTable(
+        tables.point_anchors, tables.point_weights, tables.point_valid
+    )
+    vox_table = W.SkinTable(
+        tables.vox_anchors, tables.vox_weights, tables.vox_valid
+    )
+
+    # 1. deform model + nodes
+    deformed_pts = W.deform_points(warp, tables.model_points, point_table)
+    deformed_nodes = warp.deformed_nodes
+
+    # 2. correspondences + visibility
+    targets, corr_valid = projective_correspondences(
+        deformed_pts,
+        tables.model_valid & tables.point_valid,
+        depth,
+        intr,
+        max_depth_diff=config.max_depth_diff,
+    )
+    node_visible, _ = T.check_visibility(
+        deformed_nodes, depth, intr, config.tsdf.trunc_margin
+    )
+    node_visible = node_visible & tables.node_valid
+
+    # 3. per-node motion observations
+    node_motion, node_observed = node_motion_observations(
+        deformed_pts,
+        targets,
+        corr_valid,
+        tables.point_anchors,
+        tables.point_weights,
+        deformed_nodes,
+        node_visible,
+    )
+
+    # 4. motion completion (resident GNN state)
+    if config.use_motion_model and motion_params is not None:
+        pyramid = _unpack_pyramid(tables.pyramid_ints)
+        motion_state, (completed, conf) = motion_step(
+            motion_params,
+            state.motion,
+            deformed_nodes,
+            node_motion,
+            node_observed,
+            tables.n_nodes,
+            pyramid,
+        )
+        motion_targets = deformed_nodes + completed
+        motion_conf = conf[:, 0]
+    else:
+        motion_state = state.motion
+        motion_targets = deformed_nodes + node_motion
+        motion_conf = node_observed.astype(jnp.float32)
+
+    # 5. warp solve (warm started at the current transforms)
+    P_cap = tables.model_points.shape[0]
+    idx = jnp.arange(P_cap)
+    problem = nicp.NICPProblem(
+        source_points=tables.model_points,
+        point_anchors=tables.point_anchors,
+        point_weights=tables.point_weights,
+        point_valid=tables.model_valid & tables.point_valid,
+        nodes=tables.nodes,
+        node_valid=tables.node_valid,
+        edges=tables.edges,
+        edge_weights=tables.edge_weights,
+        target_points=targets,
+        landmark_src=idx,
+        landmark_tgt=idx,
+        landmark_valid=corr_valid,
+        motion_targets=motion_targets,
+        motion_confidence=motion_conf,
+    )
+    result = nicp.solve(
+        problem,
+        config.nicp,
+        init_rotations=state.rotations,
+        init_translations=state.translations,
+    )
+
+    # 6. integrate through the updated warp
+    new_warp = warp._replace(
+        rotations=result.rotations, translations=result.translations
+    )
+    warped_vox = W.deform_points(new_warp, tables.vox_points, vox_table)
+    new_tsdf = T.integrate(
+        config.tsdf,
+        state.tsdf,
+        warped_vox,
+        tables.vox_valid,
+        depth,
+        color,
+        intr,
+    )
+
+    info = jnp.stack(
+        [
+            result.final_loss,
+            jnp.sum(corr_valid).astype(jnp.float32),
+            jnp.sum(node_visible).astype(jnp.float32),
+            jnp.sum(motion_conf) / jnp.maximum(jnp.sum(tables.node_valid), 1),
+        ]
+    )
+    new_state = FusionStepState(
+        tsdf=new_tsdf,
+        rotations=result.rotations,
+        translations=result.translations,
+        motion=motion_state,
+    )
+    return new_state, info

@@ -327,6 +327,94 @@ class DynamicFusion:
         return res.n_new
 
     # ------------------------------------------------------------------
+    # fused single-dispatch path (fusion/fused_step.py)
+
+    def build_fused(self, motion_params=None):
+        """Assemble the device-resident tables + state for the fused
+        one-dispatch-per-frame path. Call after initialize()."""
+        from occlusionfusion_tpu.fusion.fused_step import (
+            FusedStepConfig,
+            FusionStepState,
+            FusionTables,
+        )
+        from occlusionfusion_tpu.fusion.motion_runner import (
+            _PACK_LEN,
+            init_state,
+            pack_frame,
+        )
+
+        cfg = self.config
+        cap = cfg.max_nodes
+        if motion_params is not None and cfg.use_motion_model:
+            # pack the (static) pyramid into the device-resident int vector
+            dummy = np.zeros((self.node_count, 3), np.float32)
+            ints, _ = pack_frame(
+                dummy, dummy, np.zeros(self.node_count, bool),
+                [self.graph.pyramid[f"nn_index_l{l}"] for l in range(4)],
+                [self.graph.pyramid[f"down_sample_idx{i}"] for i in (1, 2, 3)],
+                [self.graph.pyramid[f"up_sample_idx{i}"] for i in (1, 2, 3)],
+            )
+            pyramid_ints = jnp.asarray(ints)
+        else:
+            pyramid_ints = jnp.zeros((_PACK_LEN,), jnp.int32)
+        tables = FusionTables(
+            vox_points=self.vox_points,
+            vox_anchors=self.vox_table.anchors,
+            vox_weights=self.vox_table.weights,
+            vox_valid=self.vox_table.valid,
+            model_points=self.model_points,
+            model_valid=self.model_valid,
+            point_anchors=self.point_table.anchors,
+            point_weights=self.point_table.weights,
+            point_valid=self.point_table.valid,
+            nodes=self.nodes,
+            node_valid=self.node_valid,
+            edges=self.edges,
+            edge_weights=self.edge_weights,
+            pyramid_ints=pyramid_ints,
+            n_nodes=jnp.int32(self.node_count),
+        )
+        # copy into the state: fused_register_frame donates these buffers,
+        # so the object-style fields must keep their own copies
+        state = FusionStepState(
+            tsdf=jax.tree.map(lambda x: jnp.array(x, copy=True), self.tsdf),
+            rotations=jnp.array(self.warp.rotations, copy=True),
+            translations=jnp.array(self.warp.translations, copy=True),
+            motion=init_state(cap),
+        )
+        step_config = FusedStepConfig(
+            tsdf=self.tsdf_config,
+            nicp=cfg.nicp,
+            max_depth_diff=cfg.max_depth_diff,
+            use_motion_model=cfg.use_motion_model and motion_params is not None,
+        )
+        return step_config, state, tables
+
+    def register_frame_fused(self, step_config, state, tables, frame: Frame,
+                             motion_params=None):
+        """One fused dispatch; caller owns the state pytree."""
+        from occlusionfusion_tpu.fusion.fused_step import fused_register_frame
+
+        return fused_register_frame(
+            step_config,
+            state,
+            tables,
+            motion_params,
+            jnp.asarray(frame.depth),
+            jnp.asarray(frame.color),
+            self.intr,
+        )
+
+    def adopt_fused_state(self, state):
+        """Copy a fused-path state back into the object-style fields."""
+        self.tsdf = state.tsdf
+        self.warp = W.update_transforms(
+            self.warp, state.rotations, state.translations
+        )
+        self.prev_R = state.rotations
+        self.prev_t = state.translations
+
+    # ------------------------------------------------------------------
     def run(self, start: int = 0, end: int | None = None, skip: int = 1):
         end = end if end is not None else len(self.seq)
         self.initialize(self.seq.load(start))

@@ -1,0 +1,57 @@
+"""The fused one-dispatch step must match the step-by-step pipeline."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from test_fusion_e2e import make_sequence, small_config
+
+from occlusionfusion_tpu.fusion.pipeline import DynamicFusion
+
+
+class TestFusedStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        seq, centers = make_sequence(n_frames=4)
+        cfg = small_config()
+        stepwise = DynamicFusion(seq, cfg)
+        stepwise.initialize(seq.load(0))
+        fused = DynamicFusion(seq, cfg)
+        fused.initialize(seq.load(0))
+        return seq, stepwise, fused
+
+    def test_fused_matches_stepwise(self, setup):
+        seq, stepwise, fused = setup
+        step_config, state, tables = fused.build_fused()
+        for i in range(1, 4):
+            frame = seq.load(i)
+            stepwise.register_frame(frame)
+            state, info = fused.register_frame_fused(
+                step_config, state, tables, frame
+            )
+        np.testing.assert_allclose(
+            np.asarray(state.translations),
+            np.asarray(stepwise.warp.translations),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.rotations),
+            np.asarray(stepwise.warp.rotations),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.tsdf.tsdf),
+            np.asarray(stepwise.tsdf.tsdf),
+            atol=1e-4,
+        )
+
+    def test_info_vector(self, setup):
+        seq, _, fused = setup
+        step_config, state, tables = fused.build_fused()
+        state, info = fused.register_frame_fused(
+            step_config, state, tables, seq.load(1)
+        )
+        info = np.asarray(info)
+        assert info.shape == (4,)
+        assert info[1] > 100  # correspondences found
+        assert np.isfinite(info).all()
