@@ -81,7 +81,7 @@ def solve_distributed(
         mesh=mesh,
         in_specs=(point_spec,),
         out_specs=(P(), P(), P(axis), P(), P()),
-        check_vma=False,
+        check_rep=False,
     )
     def run(local: GNProblem):
         R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))

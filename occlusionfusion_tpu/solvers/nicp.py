@@ -162,11 +162,17 @@ def solve(
 
     grad_fn = jax.value_and_grad(_objective, has_aux=True)
 
-    def step(carry, it):
+    # RNG is only consumed by the chamfer subsampling; keep threefry out
+    # of the scan entirely (it is disproportionately expensive to compile
+    # on some TPU toolchains) and skip it when chamfer is off.
+    if config.w_chamfer:
+        step_keys = jax.random.split(key, config.iters)
+    else:
+        step_keys = jnp.zeros((config.iters, 2), jnp.uint32)
+
+    def step(carry, step_key):
         params, opt_state, stopped = carry
-        (loss, _), grads = grad_fn(
-            params, problem, config, jax.random.fold_in(key, it)
-        )
+        (loss, _), grads = grad_fn(params, problem, config, step_key)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         # early-stop mask: once below threshold, freeze (reference breaks)
@@ -182,7 +188,7 @@ def solve(
         return (params, opt_state, stop_now), loss
 
     (params, _, _), loss_hist = jax.lax.scan(
-        step, (params, opt_state, jnp.bool_(False)), jnp.arange(config.iters)
+        step, (params, opt_state, jnp.bool_(False)), step_keys
     )
 
     R = so3_exp(params["omega"])
