@@ -85,6 +85,20 @@ def fused_register_frame(
 ):
     """One frame, one dispatch. Returns (state, info [4] f32:
     final_loss, n_correspondences, n_visible_nodes, mean_conf)."""
+    return _fused_register_frame_impl(
+        config, state, tables, motion_params, depth, color, intr
+    )
+
+
+def _fused_register_frame_impl(
+    config: FusedStepConfig,
+    state: FusionStepState,
+    tables: FusionTables,
+    motion_params,
+    depth: jnp.ndarray,
+    color: jnp.ndarray,
+    intr: Intrinsics,
+):
     warp = W.WarpFieldState(
         node_positions=tables.nodes,
         node_valid=tables.node_valid,
@@ -201,3 +215,29 @@ def fused_register_frame(
         motion=motion_state,
     )
     return new_state, info
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnums=(1,)
+)
+def fused_register_chunk(
+    config: FusedStepConfig,
+    state: FusionStepState,
+    tables: FusionTables,
+    motion_params,
+    depths: jnp.ndarray,  # [F, H, W]
+    colors: jnp.ndarray,  # [F, H, W, 3]
+    intr: Intrinsics,
+):
+    """Scan F frames in ONE dispatch (sequential dependency preserved).
+
+    Amortizes the per-dispatch host round trip the same way the motion
+    demo's chunked path does; returns (state, infos [F, 4])."""
+
+    def body(state, frame):
+        depth, color = frame
+        return _fused_register_frame_impl(
+            config, state, tables, motion_params, depth, color, intr
+        )
+
+    return jax.lax.scan(body, state, (depths, colors))

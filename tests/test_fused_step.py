@@ -45,6 +45,40 @@ class TestFusedStep:
             atol=1e-4,
         )
 
+    def test_chunked_matches_per_frame(self, setup):
+        import jax.numpy as jnp
+
+        from occlusionfusion_tpu.fusion.fused_step import fused_register_chunk
+
+        seq, _, fused = setup
+        step_config, state_a, tables = fused.build_fused()
+        infos_a = []
+        for i in range(1, 4):
+            state_a, info = fused.register_frame_fused(
+                step_config, state_a, tables, seq.load(i)
+            )
+            infos_a.append(np.asarray(info))
+
+        _, state_b, _ = fused.build_fused()
+        depths = jnp.stack([jnp.asarray(seq.load(i).depth) for i in (1, 2, 3)])
+        colors = jnp.stack([jnp.asarray(seq.load(i).color) for i in (1, 2, 3)])
+        state_b, infos_b = fused_register_chunk(
+            step_config, state_b, tables, None, depths, colors, fused.intr
+        )
+        np.testing.assert_allclose(
+            np.stack(infos_a), np.asarray(infos_b), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_a.translations),
+            np.asarray(state_b.translations),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_a.tsdf.tsdf),
+            np.asarray(state_b.tsdf.tsdf),
+            atol=1e-5,
+        )
+
     def test_info_vector(self, setup):
         seq, _, fused = setup
         step_config, state, tables = fused.build_fused()
