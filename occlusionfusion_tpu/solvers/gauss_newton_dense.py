@@ -1,0 +1,235 @@
+"""Dense-normal-equations Gauss-Newton: JtJ block assembly on the MXU.
+
+The matrix-free GN-CG solver (gauss_newton.py) and the reference's Adam
+loop are both *latency-bound* on TPU: hundreds of dependent small ops per
+solve (measured ~1.6 ms per Adam iteration for 4k points / 256 nodes —
+170 ms per 100-iteration solve). This solver is the SURVEY §7 "K3"
+design: per-residual 6-dof jacobian blocks are computed analytically and
+contracted into the dense [6N, 6N] normal matrix with ONE big einsum +
+scatter-add (MXU work), then solved by Cholesky — a handful of large ops
+per GN iteration instead of a long dependent chain.
+
+Analytic linearization at the current estimate (dw = 0):
+  point residual  r_p = sum_k w_k (R_k (x_p - g_k) + g_k + t_k) - y_p
+    d r_p / d dw_k = -w_k [R_k (x_p - g_k)]_x      (cross matrix)
+    d r_p / d t_k  =  w_k I
+  ARAP edge (i, j) r_e = R_i (g_j - g_i) + g_i + t_i - g_j - t_j
+    d/d dw_i = -[R_i (g_j - g_i)]_x ; d/d t_i = I ; d/d t_j = -I
+  motion prior     r_n = c_n (g_n + t_n - m_n):  d/d t_n = c_n I
+
+Same GNProblem/GNResult interface as gauss_newton.py; the two solvers
+cross-validate each other in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.geometry.so3 import hat, so3_exp
+from occlusionfusion_tpu.geometry.edwarp import ed_warp
+from occlusionfusion_tpu.solvers.gauss_newton import (
+    GNConfig,
+    GNProblem,
+    GNResult,
+)
+
+
+def _scatter_blocks(A, idx_i, idx_j, blocks, n):
+    """A [N, N, 6, 6] += blocks at (idx_i, idx_j); flat segment-sum."""
+    flat = idx_i * n + idx_j
+    add = jax.ops.segment_sum(
+        blocks.reshape(-1, 36), flat.reshape(-1), num_segments=n * n
+    )
+    return A + add.reshape(n, n, 6, 6)
+
+
+def _assemble(problem: GNProblem, config: GNConfig, R, t):
+    """Build (A [6N, 6N], b [6N], sq_residual) at the current estimate."""
+    n = problem.nodes.shape[0]
+    P, K = problem.point_anchors.shape
+
+    # ---- point term
+    x = problem.source_points
+    g = problem.nodes[problem.point_anchors]  # [P, K, 3]
+    Rk = R[problem.point_anchors]  # [P, K, 3, 3]
+    tk = t[problem.point_anchors]
+    local = jnp.einsum(
+        "pkij,pkj->pki", Rk, x[:, None] - g, precision="highest"
+    )  # R_k (x - g_k)
+    w = problem.point_weights * problem.point_valid[:, None]  # [P, K]
+    sw = jnp.sqrt(jnp.asarray(config.w_point, jnp.float32))
+    warped = jnp.sum(
+        problem.point_weights[..., None] * (local + g + tk), axis=1
+    )
+    r_pt = sw * problem.point_valid[:, None] * (warped - problem.target_points)
+
+    # jacobian blocks [P, K, 3, 6]: [-w hat(local) | w I]
+    Jw = -hat(local) * w[..., None, None]  # [P, K, 3, 3]
+    Jt = (
+        jnp.broadcast_to(jnp.eye(3), (P, K, 3, 3)) * w[..., None, None]
+    )
+    J = sw * jnp.concatenate([Jw, Jt], axis=-1)  # [P, K, 3, 6]
+
+    blocks = jnp.einsum("pkai,plaj->pklij", J, J, precision="highest")
+    A = jnp.zeros((n, n, 6, 6))
+    ai = jnp.broadcast_to(problem.point_anchors[:, :, None], (P, K, K))
+    aj = jnp.broadcast_to(problem.point_anchors[:, None, :], (P, K, K))
+    A = _scatter_blocks(A, ai, aj, blocks, n)
+    b_blocks = jnp.einsum("pkai,pa->pki", J, r_pt, precision="highest")
+    b = jax.ops.segment_sum(
+        b_blocks.reshape(-1, 6),
+        problem.point_anchors.reshape(-1),
+        num_segments=n,
+    )
+    sq = jnp.sum(r_pt * r_pt)
+
+    # ---- ARAP term
+    E_k = problem.edges.shape[1]
+    e = jnp.maximum(problem.edges, 0)
+    g_i = problem.nodes[:, None]
+    g_j = problem.nodes[e]
+    rot = jnp.einsum(
+        "nij,nkj->nki", R, g_j - g_i, precision="highest"
+    )  # [N, Ke, 3]
+    r_arap = rot + g_i + t[:, None] - g_j - t[e]
+    wa = jnp.sqrt(
+        jnp.asarray(config.w_arap, jnp.float32)
+        * jnp.where(problem.edges >= 0, problem.edge_weights, 0.0)
+    )  # [N, Ke]
+    r_arap = wa[..., None] * r_arap
+    # blocks for unknowns i (rot+trans) and j (trans only)
+    Ji = jnp.concatenate(
+        [
+            -hat(rot),
+            jnp.broadcast_to(jnp.eye(3), (n, E_k, 3, 3)),
+        ],
+        axis=-1,
+    ) * wa[..., None, None]  # [N, Ke, 3, 6]
+    Jj = jnp.concatenate(
+        [
+            jnp.zeros((n, E_k, 3, 3)),
+            -jnp.broadcast_to(jnp.eye(3), (n, E_k, 3, 3)),
+        ],
+        axis=-1,
+    ) * wa[..., None, None]
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, E_k))
+    # (i, i), (i, j), (j, i), (j, j) blocks
+    A = _scatter_blocks(
+        A, rows, rows,
+        jnp.einsum("neai,neaj->neij", Ji, Ji, precision="highest"), n,
+    )
+    A = _scatter_blocks(
+        A, rows, e,
+        jnp.einsum("neai,neaj->neij", Ji, Jj, precision="highest"), n,
+    )
+    A = _scatter_blocks(
+        A, e, rows,
+        jnp.einsum("neai,neaj->neij", Jj, Ji, precision="highest"), n,
+    )
+    A = _scatter_blocks(
+        A, e, e,
+        jnp.einsum("neai,neaj->neij", Jj, Jj, precision="highest"), n,
+    )
+    b = b + jax.ops.segment_sum(
+        jnp.einsum("neai,nea->nei", Ji, r_arap, precision="highest").reshape(
+            -1, 6
+        ),
+        rows.reshape(-1),
+        num_segments=n,
+    )
+    b = b + jax.ops.segment_sum(
+        jnp.einsum("neai,nea->nei", Jj, r_arap, precision="highest").reshape(
+            -1, 6
+        ),
+        e.reshape(-1),
+        num_segments=n,
+    )
+    sq = sq + jnp.sum(r_arap * r_arap)
+
+    # ---- motion prior (diagonal translation blocks)
+    if config.w_motion:
+        wm = jnp.sqrt(
+            jnp.asarray(config.w_motion, jnp.float32)
+        ) * problem.motion_confidence * problem.node_valid
+        r_m = wm[:, None] * (problem.nodes + t - problem.motion_targets)
+        diag = jnp.zeros((n, 6, 6))
+        diag = diag.at[:, 3:, 3:].set(
+            jnp.eye(3) * (wm**2)[:, None, None]
+        )
+        A = A + jnp.zeros((n, n, 6, 6)).at[
+            jnp.arange(n), jnp.arange(n)
+        ].set(diag)
+        b = b.at[:, 3:].add(wm[:, None] * r_m)
+        sq = sq + jnp.sum(r_m * r_m)
+
+    return A, b, sq
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def solve_dense(
+    problem: GNProblem,
+    config: GNConfig = GNConfig(),
+    init_rotations: jnp.ndarray | None = None,
+    init_translations: jnp.ndarray | None = None,
+) -> GNResult:
+    n = problem.nodes.shape[0]
+    R0 = (
+        init_rotations
+        if init_rotations is not None
+        else jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+    )
+    t0 = (
+        init_translations
+        if init_translations is not None
+        else jnp.zeros((n, 3), jnp.float32)
+    )
+    free = (problem.solve_node_mask & problem.node_valid).astype(jnp.float32)
+    free6 = jnp.repeat(free, 6)
+
+    def gn_step(carry, _):
+        R, t, ok = carry
+        A, b, sq = _assemble(problem, config, R, t)
+        M = A.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
+        # frozen/padded nodes: identity rows/cols, zero rhs
+        M = M * free6[:, None] * free6[None, :]
+        M = M + jnp.diag(
+            jnp.where(free6 > 0, config.lm_damping, 1.0)
+        )
+        rhs = -b.reshape(-1) * free6
+        chol, low = jax.scipy.linalg.cho_factor(M)
+        x = jax.scipy.linalg.cho_solve((chol, low), rhs)
+        x = x.reshape(n, 6)
+        dw = x[:, :3] * config.step_length
+        dt = x[:, 3:] * config.step_length
+        finite = jnp.all(jnp.isfinite(dw)) & jnp.all(jnp.isfinite(dt))
+        dw = jnp.where(finite, dw, 0.0)
+        dt = jnp.where(finite, dt, 0.0)
+        R_new = jnp.einsum(
+            "nij,njk->nik", so3_exp(dw), R, precision="highest"
+        )
+        return (R_new, t + dt, ok & finite), sq
+
+    (R, t, ok), hist = jax.lax.scan(
+        gn_step, (R0, t0, jnp.bool_(True)), None, length=config.iters
+    )
+    warped = ed_warp(
+        problem.source_points,
+        problem.nodes,
+        R,
+        t,
+        problem.point_anchors,
+        problem.point_weights,
+    )
+    eye = jnp.eye(3, dtype=jnp.float32)
+    R = jnp.where(problem.node_valid[:, None, None], R, eye)
+    t = jnp.where(problem.node_valid[:, None], t, 0.0)
+    return GNResult(
+        rotations=R,
+        translations=t,
+        warped_points=warped,
+        residual_history=hist,
+        valid=ok,
+    )

@@ -1,0 +1,63 @@
+"""Dense-assembly GN must agree with the matrix-free GN-CG solver (the
+two independent implementations cross-validate the jacobian math)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.solvers.gauss_newton import GNConfig, solve
+from occlusionfusion_tpu.solvers.gauss_newton_dense import solve_dense
+from test_gauss_newton import build_problem
+
+
+class TestDenseGN:
+    def test_matches_matrix_free(self):
+        problem, target, target_nodes = build_problem(n_pts=300, n_nodes=30)
+        cfg = GNConfig(iters=8, cg_iters=80, lm_damping=1e-5)
+        mf = solve(problem, cfg)
+        de = solve_dense(problem, cfg)
+        # both must land on the same solution
+        np.testing.assert_allclose(
+            np.asarray(de.translations), np.asarray(mf.translations), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(de.rotations), np.asarray(mf.rotations), atol=2e-4
+        )
+        # and identical initial residuals (same objective)
+        np.testing.assert_allclose(
+            float(de.residual_history[0]),
+            float(mf.residual_history[0]),
+            rtol=1e-5,
+        )
+
+    def test_rigid_recovery(self):
+        problem, target, target_nodes = build_problem()
+        res = solve_dense(problem, GNConfig(iters=8))
+        err = jnp.linalg.norm(res.warped_points - target, axis=1)
+        assert float(jnp.mean(err)) < 1e-3
+
+    def test_frozen_nodes(self):
+        problem, _, _ = build_problem()
+        freeze = np.ones(problem.nodes.shape[0], bool)
+        freeze[:8] = False
+        problem = problem._replace(solve_node_mask=jnp.asarray(freeze))
+        res = solve_dense(problem, GNConfig(iters=5))
+        np.testing.assert_allclose(np.asarray(res.translations[:8]), 0.0, atol=1e-7)
+        assert float(jnp.abs(res.translations[8:]).max()) > 1e-3
+
+    def test_motion_term(self):
+        problem, _, target_nodes = build_problem(hide_frac=1.0)
+        problem = problem._replace(
+            motion_targets=target_nodes,
+            motion_confidence=jnp.ones(problem.nodes.shape[0]),
+        )
+        res = solve_dense(problem, GNConfig(iters=8, w_motion=5.0))
+        node_err = jnp.linalg.norm(
+            problem.nodes + res.translations - target_nodes, axis=1
+        )
+        assert float(jnp.mean(node_err)) < 1e-2
+
+    def test_converges_in_few_iterations(self):
+        problem, target, _ = build_problem()
+        res = solve_dense(problem, GNConfig(iters=5, lm_damping=1e-6))
+        hist = np.asarray(res.residual_history)
+        assert hist[-1] < hist[0] * 1e-4
