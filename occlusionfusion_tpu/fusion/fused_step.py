@@ -69,6 +69,11 @@ class FusedStepConfig(NamedTuple):
     nicp: nicp.NICPConfig
     max_depth_diff: float = 0.1
     use_motion_model: bool = True
+    # "nicp" (Adam on SO(3) tangent, reference-faithful budget) or
+    # "gn_dense" (dense-assembly Gauss-Newton — ~1 order of magnitude
+    # faster per solve on TPU at equal accuracy; see solvers/)
+    solver: str = "nicp"
+    gn: "GNConfig" = None  # type: ignore[assignment]
 
 
 @functools.partial(
@@ -178,12 +183,46 @@ def _fused_register_frame_impl(
         motion_targets=motion_targets,
         motion_confidence=motion_conf,
     )
-    result = nicp.solve(
-        problem,
-        config.nicp,
-        init_rotations=state.rotations,
-        init_translations=state.translations,
-    )
+    if config.solver == "gn_dense":
+        from occlusionfusion_tpu.solvers.gauss_newton import (
+            GNConfig,
+            GNProblem,
+        )
+        from occlusionfusion_tpu.solvers.gauss_newton_dense import solve_dense
+
+        gn_cfg = config.gn if config.gn is not None else GNConfig(
+            iters=6,
+            w_point=config.nicp.w_ldmk,
+            w_arap=config.nicp.w_arap,
+            w_motion=config.nicp.w_motion / 100.0,
+        )
+        gn_problem = GNProblem(
+            source_points=problem.source_points,
+            point_anchors=problem.point_anchors,
+            point_weights=problem.point_weights,
+            target_points=problem.target_points,
+            point_valid=problem.landmark_valid.astype(jnp.float32),
+            nodes=problem.nodes,
+            node_valid=problem.node_valid,
+            edges=problem.edges,
+            edge_weights=problem.edge_weights,
+            motion_targets=problem.motion_targets,
+            motion_confidence=problem.motion_confidence,
+            solve_node_mask=problem.node_valid,
+        )
+        result = solve_dense(
+            gn_problem,
+            gn_cfg,
+            init_rotations=state.rotations,
+            init_translations=state.translations,
+        )
+    else:
+        result = nicp.solve(
+            problem,
+            config.nicp,
+            init_rotations=state.rotations,
+            init_translations=state.translations,
+        )
 
     # 6. integrate through the updated warp
     new_warp = warp._replace(
@@ -200,9 +239,14 @@ def _fused_register_frame_impl(
         intr,
     )
 
+    final_loss = (
+        result.final_loss
+        if hasattr(result, "final_loss")
+        else result.residual_history[-1]
+    )
     info = jnp.stack(
         [
-            result.final_loss,
+            final_loss,
             jnp.sum(corr_valid).astype(jnp.float32),
             jnp.sum(node_visible).astype(jnp.float32),
             jnp.sum(motion_conf) / jnp.maximum(jnp.sum(tables.node_valid), 1),

@@ -61,6 +61,8 @@ class FusionConfig:
     # grow the graph onto newly observed surface every N frames (0 = off;
     # the reference ships growth disabled in its loop too, fusion.py:185)
     growth_interval: int = 0
+    # warp solver for the fused path: "nicp" or "gn_dense"
+    solver: str = "nicp"
 
 
 class DynamicFusion:
@@ -387,6 +389,7 @@ class DynamicFusion:
             nicp=cfg.nicp,
             max_depth_diff=cfg.max_depth_diff,
             use_motion_model=cfg.use_motion_model and motion_params is not None,
+            solver=cfg.solver,
         )
         return step_config, state, tables
 
