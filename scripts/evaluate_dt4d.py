@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Evaluate the fusion pipeline on DeformingThings4D-style clips.
+
+BASELINE config 3 eval: render a synthetic depth sequence from an .anime
+clip, run DynamicFusion, and report trajectory ATE of the tracked model
+against the clip's ground-truth vertex trajectories (the parity metric —
+the fork ships no Lepard/NT weights, so GT-trajectory ATE replaces
+checkpoint equivalence; BASELINE.md).
+
+Usage:
+  python scripts/evaluate_dt4d.py --anime clip.anime [--frames 20]
+  python scripts/evaluate_dt4d.py --synthetic   # built-in deforming blob
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0):
+    """Write a synthetic deforming blob clip (sphere with a moving bulge)."""
+    from occlusionfusion_tpu.data.deformingthings4d import save_anime
+
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n_verts, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    verts = (v * 0.12).astype(np.float32)
+    faces = np.zeros((1, 3), np.int32)  # faces unused by the renderer
+    offsets = []
+    for f in range(1, n_frames):
+        phase = f / n_frames
+        # rigid drift + a traveling bulge
+        drift = np.asarray([0.0, 0.0, 0.002]) * f
+        bulge_dir = np.asarray(
+            [np.cos(2 * np.pi * phase), np.sin(2 * np.pi * phase), 0.0]
+        )
+        w = np.maximum(v @ bulge_dir, 0.0) ** 2
+        offsets.append(
+            (drift + 0.03 * w[:, None] * v * phase).astype(np.float32)
+        )
+    save_anime(path, verts, faces, np.stack(offsets))
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--anime", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--solver", default="gn_dense")
+    ap.add_argument("--out", default=None, help="write metrics JSON here")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from occlusionfusion_tpu.data.deformingthings4d import (
+        anime_to_depth_sequence,
+        trajectory_ate,
+    )
+    from occlusionfusion_tpu.fusion import warpfield as W
+    from occlusionfusion_tpu.fusion.frame_loader import ArraySequence
+    from occlusionfusion_tpu.fusion.pipeline import DynamicFusion, FusionConfig
+    from occlusionfusion_tpu.geometry.camera import Intrinsics
+    from occlusionfusion_tpu.geometry.skinning import skinning_weights
+    from occlusionfusion_tpu.graph.edgraph import GraphConfig
+    from occlusionfusion_tpu.solvers.nicp import NICPConfig
+    from occlusionfusion_tpu.utils.metrics import epe_3d
+
+    path = args.anime
+    if args.synthetic or path is None:
+        path = synthetic_anime("/tmp/synthetic_clip.anime", args.frames + 1)
+
+    intr = Intrinsics(
+        np.float32(300.0), np.float32(300.0), np.float32(80.0), np.float32(80.0)
+    )
+    depths, gt = anime_to_depth_sequence(
+        path, intr, image_hw=(160, 160), max_frames=args.frames
+    )
+    colors = [np.full(depths[0].shape + (3,), 128.0, np.float32) for _ in depths]
+    seq = ArraySequence(colors, list(depths), intr)
+
+    cfg = FusionConfig(
+        vol_dim=(64, 64, 64),
+        voxel_size=0.006,
+        node_coverage=0.03,
+        max_nodes=512,
+        max_points=4096,
+        max_depth_diff=0.04,
+        graph=GraphConfig(node_coverage=0.03, min_neighbors=2),
+        nicp=NICPConfig(iters=100, w_motion=0.0, lr=0.02),
+        use_motion_model=False,
+        solver=args.solver,
+    )
+    fusion = DynamicFusion(seq, cfg)
+    t0 = time.perf_counter()
+    fusion.initialize(seq.load(0))
+    sc, state, tables = fusion.build_fused()
+
+    # track the GT vertices through the estimated warp field each frame
+    gt0 = jnp.asarray(gt[0])
+    anchors, weights, reach = skinning_weights(
+        gt0, tables.nodes, tables.node_valid, cfg.node_coverage, k=4
+    )
+    table = W.SkinTable(anchors, weights, reach)
+
+    per_frame_epe = []
+    tracked = [np.asarray(gt[0])]
+    for i in range(1, args.frames):
+        state, info = fusion.register_frame_fused(sc, state, tables, seq.load(i))
+        warp = W.WarpFieldState(
+            tables.nodes, tables.node_valid, state.rotations, state.translations
+        )
+        pred = W.deform_points(warp, gt0, table)
+        tracked.append(np.asarray(pred))
+        # evaluate on vertices actually visible in this frame's depth map
+        from occlusionfusion_tpu.fusion.tsdf import check_visibility
+
+        vis, _ = check_visibility(
+            jnp.asarray(gt[i]), jnp.asarray(depths[i]), intr, 0.01
+        )
+        visible_mask = np.asarray(reach) & np.asarray(vis)
+        per_frame_epe.append(
+            float(epe_3d(pred, jnp.asarray(gt[i]), jnp.asarray(visible_mask)))
+        )
+
+    ate = trajectory_ate(
+        np.stack(tracked)[:, np.asarray(reach)], gt[: args.frames][:, np.asarray(reach)]
+    )
+    elapsed = time.perf_counter() - t0
+    metrics = {
+        "ate_m": round(ate, 5),
+        "final_epe_m": round(per_frame_epe[-1], 5),
+        "mean_epe_m": round(float(np.mean(per_frame_epe)), 5),
+        "frames": args.frames,
+        "nodes": int(fusion.node_count),
+        "seconds": round(elapsed, 1),
+    }
+    print(json.dumps(metrics))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(metrics, fh)
+
+
+if __name__ == "__main__":
+    main()
