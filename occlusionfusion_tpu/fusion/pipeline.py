@@ -63,11 +63,17 @@ class FusionConfig:
     growth_interval: int = 0
     # warp solver for the fused path: "nicp" or "gn_dense"
     solver: str = "nicp"
+    # optional learned scene-flow source (Lepard-style matcher); when set
+    # (with lepard_params passed to DynamicFusion), matcher flow overrides
+    # projective targets where the blend mask is confident
+    use_lepard: bool = False
+    lepard_max_target_points: int = 4096
 
 
 class DynamicFusion:
     def __init__(self, sequence, config: FusionConfig,
-                 motion_params=None):
+                 motion_params=None, lepard_params=None,
+                 lepard_config=None):
         self.seq = sequence
         self.config = config
         self.intr = sequence.intrinsics
@@ -76,6 +82,10 @@ class DynamicFusion:
             self.motion_runner = MotionCompletionRunner(
                 motion_params, n0_cap=config.max_nodes
             )
+        self.lepard_params = lepard_params
+        self.lepard_config = lepard_config
+        if config.use_lepard and lepard_params is None:
+            raise ValueError("use_lepard requires lepard_params")
         self.frame_id = -1
         self.prev_R = None
         self.prev_t = None
@@ -196,6 +206,38 @@ class DynamicFusion:
             deformed_nodes, depth, self.intr, self.tsdf_config.trunc_margin
         )
         node_visible = node_visible & self.node_valid
+
+        # optional learned scene flow (run_lepard.py:39-78 equivalent):
+        # matcher flow replaces projective targets where confidently
+        # blended — this is the component that recovers tangential motion
+        # projective association is blind to
+        if self.config.use_lepard:
+            from occlusionfusion_tpu.geometry.camera import backproject_depth
+            from occlusionfusion_tpu.models.lepard import scene_flow
+
+            cap_t = self.config.lepard_max_target_points
+            pts_im = np.asarray(
+                backproject_depth(depth, self.intr)
+            ).reshape(-1, 3)
+            obs = pts_im[pts_im[:, 2] > 0]
+            sel = np.random.RandomState(frame.index).permutation(len(obs))[
+                :cap_t
+            ]
+            tgt_pcd = np.zeros((cap_t, 3), np.float32)
+            tgt_pcd[: len(sel)] = obs[sel]
+            tgt_valid = np.zeros(cap_t, bool)
+            tgt_valid[: len(sel)] = True
+            flow, flow_mask, _ = scene_flow(
+                self.lepard_params,
+                self.lepard_config,
+                deformed_pts,
+                self.model_valid & self.point_table.valid,
+                jnp.asarray(tgt_pcd),
+                jnp.asarray(tgt_valid),
+            )
+            lepard_targets = deformed_pts + flow
+            targets = jnp.where(flow_mask[:, None], lepard_targets, targets)
+            corr_valid = corr_valid | flow_mask
 
         # 3. per-node motion observations
         node_motion, node_observed = node_motion_observations(

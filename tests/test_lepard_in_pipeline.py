@@ -1,0 +1,34 @@
+"""Wiring test: the Lepard scene-flow source runs inside the fusion loop
+(random-init weights — behavior, not accuracy)."""
+
+import numpy as np
+import jax
+
+from test_fusion_e2e import make_sequence, small_config
+
+from occlusionfusion_tpu.fusion.pipeline import DynamicFusion
+from occlusionfusion_tpu.models import kpconv as K
+from occlusionfusion_tpu.models.lepard import LepardConfig, init_lepard_params
+
+
+def test_pipeline_with_lepard_source():
+    seq, centers = make_sequence(n_frames=3)
+    cfg = small_config()
+    cfg.use_lepard = True
+    cfg.lepard_max_target_points = 1024
+    lep_cfg = LepardConfig(
+        kpfcn=K.KPFCNConfig(
+            pyramid=K.PyramidConfig(
+                level_sizes=(512, 128, 64, 32), first_voxel=0.03
+            )
+        ),
+        match_threshold=0.0,  # random init: accept best matches
+    )
+    params = init_lepard_params(jax.random.PRNGKey(0), lep_cfg)
+    fusion = DynamicFusion(
+        seq, cfg, lepard_params=params, lepard_config=lep_cfg
+    )
+    fusion.initialize(seq.load(0))
+    info = fusion.register_frame(seq.load(1))
+    assert info["n_correspondences"] > 0
+    assert np.isfinite(info["final_loss"])
