@@ -1,0 +1,116 @@
+"""Pallas LBS voxel-warp kernel (one-hot-weights matmul formulation).
+
+TPU-native replacement for the reference's numba-CUDA LBS kernel
+(``warpfield.py:234-266``, device fn ``:607-630``). The key algebraic
+re-design: linear blend skinning is *linear in the node transforms* —
+
+    y = sum_k w_k (R_k x + t_k) = (sum_k w_k R_k) x + sum_k w_k t_k
+
+so with origin-form transforms packed as a [N, 12] matrix T, the per-point
+blended transform is ``S @ T`` where S is the [P, N] sparse skinning
+matrix (4 non-zeros per row). The Pallas kernel materializes S only
+block-by-block in VMEM (built from anchors/weights with 4 iota-compares)
+and rides the MXU for the [TILE, N] x [N, 12] contraction — no gathers at
+all, unlike the XLA twin (geometry/edwarp.py) which gathers [P, K]
+transform rows.
+
+Semantics match fusion/warpfield.deform_points: invalid points pass
+through unwarped; weights are the normalized skinning weights.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from occlusionfusion_tpu.fusion.warpfield import WarpFieldState, to_origin_form
+
+
+def _pack_transforms(state: WarpFieldState) -> jnp.ndarray:
+    """[N, 12]: rows of R (origin form) then t."""
+    R, t_origin = to_origin_form(state)
+    return jnp.concatenate([R.reshape(-1, 9), t_origin], axis=-1)
+
+
+def _lbs_kernel(pts_ref, anchors_ref, weights_ref, valid_ref, T_ref, out_ref,
+                *, n_nodes: int, k: int):
+    pts = pts_ref[:]  # [TILE, 4] (xyz + pad)
+    TILE = pts.shape[0]
+    # build the block of the sparse skinning matrix S [TILE, N]
+    node_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, n_nodes), 1)
+    S = jnp.zeros((TILE, n_nodes), jnp.float32)
+    for kk in range(k):
+        a = anchors_ref[:, kk][:, None]  # [TILE, 1]
+        w = weights_ref[:, kk][:, None]
+        S = S + jnp.where(node_ids == a, w, 0.0)
+    blended = jnp.dot(S, T_ref[:], preferred_element_type=jnp.float32)
+    # y = B_R x + B_t
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    ox = blended[:, 0] * x + blended[:, 1] * y + blended[:, 2] * z + blended[:, 9]
+    oy = blended[:, 3] * x + blended[:, 4] * y + blended[:, 5] * z + blended[:, 10]
+    oz = blended[:, 6] * x + blended[:, 7] * y + blended[:, 8] * z + blended[:, 11]
+    warped = jnp.stack([ox, oy, oz], axis=-1)
+    valid = valid_ref[:, 0][:, None] > 0
+    out_ref[:, :3] = jnp.where(valid, warped, pts[:, :3])
+    out_ref[:, 3] = jnp.zeros_like(ox)
+
+
+def lbs_warp_pallas(
+    points: jnp.ndarray,  # [P, 3]
+    anchors: jnp.ndarray,  # [P, K]
+    weights: jnp.ndarray,  # [P, K]
+    valid: jnp.ndarray,  # [P]
+    state: WarpFieldState,
+    tile: int = 1024,
+) -> jnp.ndarray:
+    """Warp points through the field; Pallas kernel, MXU inner product."""
+    P, K = anchors.shape
+    N = state.node_positions.shape[0]
+    n_pad = -(-N // 128) * 128
+    T = _pack_transforms(state)
+    # zero rows for padding nodes: S columns beyond N never referenced,
+    # but pad T to n_pad for lane alignment
+    T = jnp.pad(T, ((0, n_pad - N), (0, 0)))
+    T = jnp.pad(T, ((0, 0), (0, 128 - 12)))  # lane-align columns
+
+    p_pad = -(-P // tile) * tile
+    pts4 = jnp.pad(points.astype(jnp.float32), ((0, p_pad - P), (0, 1)))
+    anc = jnp.pad(anchors.astype(jnp.int32), ((0, p_pad - P), (0, 0)))
+    wts = jnp.pad(weights.astype(jnp.float32), ((0, p_pad - P), (0, 0)))
+    vld = jnp.pad(
+        valid.astype(jnp.float32)[:, None], ((0, p_pad - P), (0, 0))
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_lbs_kernel, n_nodes=n_pad, k=K),
+        grid=(p_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((p_pad, 4), jnp.float32),
+    )(pts4, anc, wts, vld, T)
+    return out[:P, :3]
+
+
+def lbs_warp_lax(
+    points, anchors, weights, valid, state: WarpFieldState
+) -> jnp.ndarray:
+    """XLA twin (gather + einsum) — the equivalence oracle."""
+    from occlusionfusion_tpu.fusion.warpfield import SkinTable, deform_points
+
+    return deform_points(
+        state, points, SkinTable(anchors, weights, valid)
+    )
