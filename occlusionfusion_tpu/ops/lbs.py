@@ -16,6 +16,14 @@ transform rows.
 
 Semantics match fusion/warpfield.deform_points: invalid points pass
 through unwarped; weights are the normalized skinning weights.
+
+Measured on a v5e chip (262k points, 512 nodes): XLA twin 1.46 ms,
+this kernel 3.16 ms — XLA's fused gather+einsum is already near
+speed-of-light for this op (the one-hot formulation trades 4-row gathers
+for a 128x larger MXU contraction, and the VPU-side one-hot build
+dominates). The kernel is kept as a validated alternative and as the
+template for ops where XLA's gather path IS the bottleneck; the
+production warp path uses the XLA twin.
 """
 
 from __future__ import annotations
@@ -47,7 +55,13 @@ def _lbs_kernel(pts_ref, anchors_ref, weights_ref, valid_ref, T_ref, out_ref,
         a = anchors_ref[:, kk][:, None]  # [TILE, 1]
         w = weights_ref[:, kk][:, None]
         S = S + jnp.where(node_ids == a, w, 0.0)
-    blended = jnp.dot(S, T_ref[:], preferred_element_type=jnp.float32)
+    blended = jax.lax.dot_general(
+        S,
+        T_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     # y = B_R x + B_t
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
     ox = blended[:, 0] * x + blended[:, 1] * y + blended[:, 2] * z + blended[:, 9]
