@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from occlusionfusion_tpu.geometry.so3 import so3_exp
 from occlusionfusion_tpu.geometry.edwarp import ed_warp
@@ -81,7 +81,7 @@ def solve_distributed(
         mesh=mesh,
         in_specs=(point_spec,),
         out_specs=(P(), P(), P(axis), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def run(local: GNProblem):
         R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))

@@ -25,7 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from occlusionfusion_tpu.models.motion_complete import lstm_forward
 
@@ -45,7 +45,7 @@ def lstm_node_sharded(
         mesh=mesh,
         in_specs=(P(), P(None, axis)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     def run(params, h):
         return lstm_forward(params, h)
@@ -73,7 +73,7 @@ def lstm_time_ring(
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     def run(params, chunk):
         B = chunk.shape[1]

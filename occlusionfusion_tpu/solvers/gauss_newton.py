@@ -42,6 +42,9 @@ class GNConfig(NamedTuple):
     w_arap: float = 2.0
     w_motion: float = 0.0
     step_length: float = 1.0
+    # block-Jacobi preconditioning (6x6 diagonal blocks of JtJ): cuts CG
+    # iterations ~3-5x for a cheap O(P K) block build
+    precondition: bool = False
 
 
 class GNProblem(NamedTuple):
@@ -173,20 +176,42 @@ def solve(
         (b,) = vjp_fn(r0)
         b = _mask_params((-b[0], -b[1]), problem)
 
+        if config.precondition:
+            from occlusionfusion_tpu.solvers.gauss_newton_dense import (
+                diag_blocks,
+            )
+
+            D = diag_blocks(problem, config, R, t)
+            D = D + jnp.eye(6) * config.lm_damping
+            Dinv = jnp.linalg.inv(D)  # [N, 6, 6]
+
+            def apply_M(v):
+                z6 = jnp.concatenate([v[0], v[1]], axis=-1)  # [N, 6]
+                z = jnp.einsum("nij,nj->ni", Dinv, z6, precision="highest")
+                return _mask_params((z[:, :3], z[:, 3:]), problem)
+
+        else:
+
+            def apply_M(v):
+                return v
+
         def cg_body(state, _):
-            x, r, p, rs = state
+            x, r, p, rz = state
             Ap = jtj(p)
-            alpha = rs / jnp.maximum(_tree_dot(p, Ap), 1e-20)
+            alpha = rz / jnp.maximum(_tree_dot(p, Ap), 1e-20)
             x = (x[0] + alpha * p[0], x[1] + alpha * p[1])
             r = (r[0] - alpha * Ap[0], r[1] - alpha * Ap[1])
-            rs_new = _tree_dot(r, r)
-            beta = rs_new / jnp.maximum(rs, 1e-20)
-            p = (r[0] + beta * p[0], r[1] + beta * p[1])
-            return (x, r, p, rs_new), None
+            z = apply_M(r)
+            rz_new = _tree_dot(r, z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            p = (z[0] + beta * p[0], z[1] + beta * p[1])
+            return (x, r, p, rz_new), None
 
         x0 = (jnp.zeros_like(b[0]), jnp.zeros_like(b[1]))
+        z0 = apply_M(b)
         (x, _, _, _), _ = jax.lax.scan(
-            cg_body, (x0, b, b, _tree_dot(b, b)), None, length=config.cg_iters
+            cg_body, (x0, b, z0, _tree_dot(b, z0)), None,
+            length=config.cg_iters,
         )
 
         # x is the GN step (delta_w, delta_t) about the point (0, t)

@@ -168,6 +168,66 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
     return A, b, sq
 
 
+def diag_blocks(problem: GNProblem, config: GNConfig, R, t):
+    """Per-node 6x6 diagonal blocks of JtJ (no N^2 scatter) — the
+    block-Jacobi preconditioner for the matrix-free CG solver.
+
+    Point term: sum over points/anchors of J_k^T J_k at k == l;
+    ARAP: (i, i) and (j, j) blocks; motion: translation diagonal."""
+    n = problem.nodes.shape[0]
+    P, K = problem.point_anchors.shape
+    g = problem.nodes[problem.point_anchors]
+    Rk = R[problem.point_anchors]
+    local = jnp.einsum(
+        "pkij,pkj->pki", Rk, problem.source_points[:, None] - g,
+        precision="highest",
+    )
+    w = problem.point_weights * problem.point_valid[:, None]
+    sw = jnp.sqrt(jnp.asarray(config.w_point, jnp.float32))
+    Jw = -hat(local) * w[..., None, None]
+    Jt = jnp.broadcast_to(jnp.eye(3), (P, K, 3, 3)) * w[..., None, None]
+    J = sw * jnp.concatenate([Jw, Jt], axis=-1)
+    blocks = jnp.einsum("pkai,pkaj->pkij", J, J, precision="highest")
+    D = jax.ops.segment_sum(
+        blocks.reshape(-1, 36), problem.point_anchors.reshape(-1),
+        num_segments=n,
+    ).reshape(n, 6, 6)
+
+    E_k = problem.edges.shape[1]
+    e = jnp.maximum(problem.edges, 0)
+    rot = jnp.einsum(
+        "nij,nkj->nki", R, problem.nodes[e] - problem.nodes[:, None],
+        precision="highest",
+    )
+    wa = jnp.sqrt(
+        jnp.asarray(config.w_arap, jnp.float32)
+        * jnp.where(problem.edges >= 0, problem.edge_weights, 0.0)
+    )
+    Ji = jnp.concatenate(
+        [-hat(rot), jnp.broadcast_to(jnp.eye(3), (n, E_k, 3, 3))], axis=-1
+    ) * wa[..., None, None]
+    D = D + jnp.sum(
+        jnp.einsum("neai,neaj->neij", Ji, Ji, precision="highest"), axis=1
+    )
+    # (j, j) blocks: translation identity scaled by wa^2, scattered at e
+    jj = (wa**2)[..., None, None] * jnp.broadcast_to(
+        jnp.eye(3), (n, E_k, 3, 3)
+    )
+    jj_sum = jax.ops.segment_sum(
+        jj.reshape(-1, 9), e.reshape(-1), num_segments=n
+    ).reshape(n, 3, 3)
+    D = D.at[:, 3:, 3:].add(jj_sum)
+
+    if config.w_motion:
+        wm2 = (
+            jnp.asarray(config.w_motion, jnp.float32)
+            * problem.motion_confidence**2
+            * problem.node_valid
+        )
+        D = D.at[:, 3:, 3:].add(jnp.eye(3) * wm2[:, None, None])
+    return D
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def solve_dense(
     problem: GNProblem,
