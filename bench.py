@@ -60,7 +60,60 @@ def synthetic_frames(limit, n_nodes=227):
     return frames
 
 
+def bench_fusion():
+    """Full fused fusion loop (BENCH_MODE=fusion): synthetic deforming
+    sphere, 64^3 volume, gn_dense solver. Slower to compile through the
+    axon relay (minutes) — the default motion bench is the reliable
+    headline; this one measures 'fused frames/sec/chip' directly
+    (~5-8 fps measured at 512-node cap on one v5e)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import jax
+    import jax.numpy as jnp
+    from test_fusion_e2e import make_sequence
+
+    from occlusionfusion_tpu.fusion.pipeline import DynamicFusion, FusionConfig
+    from occlusionfusion_tpu.graph.edgraph import GraphConfig
+    from occlusionfusion_tpu.solvers.nicp import NICPConfig
+
+    cfg = FusionConfig(
+        vol_dim=(64, 64, 64), voxel_size=0.008, node_coverage=0.03,
+        max_nodes=512, max_points=4096, max_depth_diff=0.05,
+        graph=GraphConfig(node_coverage=0.03, min_neighbors=2),
+        nicp=NICPConfig(iters=100, w_motion=0.0, lr=0.02),
+        use_motion_model=False, solver="gn_dense",
+    )
+    seq, _ = make_sequence(n_frames=24)
+    fusion = DynamicFusion(seq, cfg)
+    fusion.initialize(seq.load(0))
+    sc, state, tables = fusion.build_fused()
+    state, info = fusion.register_frame_fused(sc, state, tables, seq.load(1))
+    jax.block_until_ready(info)
+    n = 20
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, info = fusion.register_frame_fused(
+            sc, state, tables, seq.load(i % 23 + 1)
+        )
+    jax.block_until_ready(state.tsdf.tsdf)
+    fps = n / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "fused_fusion_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "fusion":
+        bench_fusion()
+        return
     from occlusionfusion_tpu.fusion.motion_runner import MotionCompletionRunner
 
     try:
@@ -82,7 +135,7 @@ def main():
         frames = synthetic_frames(n_frames)
 
     runner = MotionCompletionRunner(params)
-    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
 
     def frame_dict(nf, pyd):
         return dict(
