@@ -77,6 +77,36 @@ def warp_3d(
     return jnp.where(valid[..., None], flow, 0.0), valid
 
 
+def median_filter_depth(
+    depth: jnp.ndarray, size: int = 5, max_deviation: float = 0.1
+) -> jnp.ndarray:
+    """Approximate median depth filter (``image_proc.cpp:854``
+    filter_depth): replaces pixels deviating from the local window median;
+    the median over the k^2 window is computed exactly via sort. Zero
+    (invalid) depths stay zero."""
+    H, W = depth.shape
+    r = size // 2
+    pad = jnp.pad(depth, r, constant_values=0.0)
+    windows = [
+        pad[dy : dy + H, dx : dx + W]
+        for dy in range(size)
+        for dx in range(size)
+    ]
+    stack = jnp.stack(windows, axis=-1)  # [H, W, k^2]
+    # median over valid entries: sort invalid (0) to the end via +inf
+    valid = stack > 0
+    big = jnp.where(valid, stack, jnp.inf)
+    srt = jnp.sort(big, axis=-1)
+    count = jnp.sum(valid, axis=-1)
+    mid = jnp.maximum(count // 2, 0)
+    med = jnp.take_along_axis(srt, mid[..., None], axis=-1)[..., 0]
+    med = jnp.where(count > 0, med, 0.0)
+    out = jnp.where(
+        (depth > 0) & (jnp.abs(depth - med) > max_deviation), med, depth
+    )
+    return out
+
+
 def augment_flow(
     key,
     flow: jnp.ndarray,  # [H, W, 2] ground-truth flow
