@@ -288,6 +288,11 @@ class KPFCNConfig(NamedTuple):
     first_dim: int = 128
     out_dim: int = 528  # lepard coarse feature dim (4dmatch.yaml)
     num_kernel_points: int = 15
+    # resnetb blocks per encoder stage before the strided block; the
+    # reference architecture list (lepard/configs/models.py:3-21) uses
+    # 10 resnetb / 3 strided — blocks_per_stage=3 approximates its depth
+    # at our 3-level encode
+    blocks_per_stage: int = 1
     pyramid: PyramidConfig = PyramidConfig()
 
 
@@ -317,7 +322,10 @@ def init_kpfcn_params(key, config: KPFCNConfig):
         cout = dims[l + 1]
         params["enc"].append(
             {
-                "res": resnetb_params(next(keys), cin, cin // 2, cin, K),
+                "res": [
+                    resnetb_params(next(keys), cin, cin // 2, cin, K)
+                    for _ in range(config.blocks_per_stage)
+                ],
                 "strided": resnetb_params(next(keys), cin, cin // 2, cout, K),
             }
         )
@@ -346,7 +354,17 @@ def kpfcn_encode(
         nxt = levels[l + 1]
         p = params["enc"][l]
         kp_l = kernel_points(config.num_kernel_points, voxel * 1.2)
-        x = resnetb_block(p["res"], x, level, level, level.neighbors, kp_l, voxel * 1.2)
+        res = p["res"]
+        if isinstance(res, dict) and "down" in res:
+            res_blocks = [res]  # legacy single-block params
+        elif isinstance(res, dict):
+            res_blocks = [res[k] for k in sorted(res, key=int)]  # from npz
+        else:
+            res_blocks = res
+        for rp in res_blocks:
+            x = resnetb_block(
+                rp, x, level, level, level.neighbors, kp_l, voxel * 1.2
+            )
         x = resnetb_block(p["strided"], x, level, nxt, level.pool, kp_l, voxel * 1.2)
         voxel *= 2
     coarse = levels[2]

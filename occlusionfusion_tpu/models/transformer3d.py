@@ -157,27 +157,52 @@ def dual_softmax_confidence(
 def sinkhorn_confidence(
     feats_src, feats_tgt, src_valid, tgt_valid,
     temperature: float = 0.1, iters: int = 3,
+    dustbin_score: float | None = None,
 ):
-    """Entropic OT alternative (``matching.py:6-38,159-171``), in log space
-    without dustbins (padding masks play that role)."""
+    """Entropic OT alternative (``matching.py:6-38,159-171``), in log
+    space. With ``dustbin_score`` set, a learned-style slack row/column
+    absorbs unmatched mass (SuperGlue-style, the reference's OT variant);
+    without it, padding masks play that role."""
     f1 = feats_src / jnp.maximum(
         jnp.linalg.norm(feats_src, axis=-1, keepdims=True), 1e-8
     )
     f2 = feats_tgt / jnp.maximum(
         jnp.linalg.norm(feats_tgt, axis=-1, keepdims=True), 1e-8
     )
-    log_a = jnp.where(src_valid, 0.0, -1e30)
-    log_b = jnp.where(tgt_valid, 0.0, -1e30)
     M = (f1 @ f2.T) / temperature
     M = jnp.where(src_valid[:, None] & tgt_valid[None, :], M, -1e30)
+    S, T_ = M.shape
+    if dustbin_score is not None:
+        # append slack row + column with the fixed dustbin score
+        M = jnp.concatenate(
+            [M, jnp.full((S, 1), dustbin_score)], axis=1
+        )
+        M = jnp.concatenate(
+            [M, jnp.full((1, T_ + 1), dustbin_score)], axis=0
+        )
+        src_m = jnp.concatenate([src_valid, jnp.ones(1, bool)])
+        tgt_m = jnp.concatenate([tgt_valid, jnp.ones(1, bool)])
+        # the dustbin can absorb the whole other side's mass
+        log_a = jnp.where(
+            src_m, 0.0, -1e30
+        ).at[-1].set(jnp.log(jnp.maximum(jnp.sum(tgt_valid), 1.0)))
+        log_b = jnp.where(
+            tgt_m, 0.0, -1e30
+        ).at[-1].set(jnp.log(jnp.maximum(jnp.sum(src_valid), 1.0)))
+    else:
+        src_m, tgt_m = src_valid, tgt_valid
+        log_a = jnp.where(src_m, 0.0, -1e30)
+        log_b = jnp.where(tgt_m, 0.0, -1e30)
     u = jnp.zeros(M.shape[0])
     v = jnp.zeros(M.shape[1])
     for _ in range(iters):
         u = log_a - jax.nn.logsumexp(M + v[None, :], axis=1)
-        u = jnp.where(src_valid, u, 0.0)
+        u = jnp.where(src_m, u, 0.0)
         v = log_b - jax.nn.logsumexp(M + u[:, None], axis=0)
-        v = jnp.where(tgt_valid, v, 0.0)
+        v = jnp.where(tgt_m, v, 0.0)
     P = jnp.exp(M + u[:, None] + v[None, :])
+    if dustbin_score is not None:
+        P = P[:S, :T_]
     return jnp.where(src_valid[:, None] & tgt_valid[None, :], P, 0.0)
 
 

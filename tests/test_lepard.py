@@ -188,3 +188,37 @@ class TestLepardEndToEnd:
         )
         np.testing.assert_allclose(np.asarray(flow[0]), [0, 0, 0.5], atol=1e-5)
         assert bool(mask[0]) and not bool(mask[1])
+
+
+class TestSinkhornDustbin:
+    def test_dustbin_absorbs_unmatched(self):
+        import jax.numpy as jnp
+
+        # 3 src, 2 tgt: one source remains unmatched
+        f_src = jnp.eye(3, 8) * 10
+        f_tgt = jnp.eye(2, 8) * 10
+        P = TR.sinkhorn_confidence(
+            f_src, f_tgt, jnp.ones(3, bool), jnp.ones(2, bool),
+            iters=20, dustbin_score=0.0,
+        )
+        p = np.asarray(P)
+        # matched pairs dominate their rows; the odd source row has low mass
+        assert p[0, 0] > 0.5 and p[1, 1] > 0.5
+        assert p[2].sum() < 0.5
+
+
+class TestDeepKPFCN:
+    def test_blocks_per_stage(self):
+        import jax
+
+        cfg = K.KPFCNConfig(
+            blocks_per_stage=3,
+            pyramid=K.PyramidConfig(level_sizes=(128, 64, 32, 16), first_voxel=0.08),
+        )
+        params = K.init_kpfcn_params(jax.random.PRNGKey(0), cfg)
+        assert len(params["enc"][0]["res"]) == 3
+        pts, valid = random_cloud(100, 128, seed=9)
+        levels = K.build_pyramid(pts, valid, cfg.pyramid)
+        feats, coarse = K.kpfcn_encode(params, cfg, levels)
+        assert feats.shape == (32, cfg.out_dim)
+        assert bool(jnp.all(jnp.isfinite(feats)))
