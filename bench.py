@@ -128,7 +128,7 @@ def main():
 
         params = init_params(jax.random.PRNGKey(0))
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "200"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
     if os.path.isdir(REF_INPUT):
         frames = load_frames(n_frames)
     else:
