@@ -296,12 +296,47 @@ class DynamicFusion:
             motion_targets=motion_targets,
             motion_confidence=motion_conf,
         )
-        result = solve(
-            problem,
-            cfg.nicp,
-            init_rotations=self.prev_R,
-            init_translations=self.prev_t,
-        )
+        if cfg.solver == "gn_dense":
+            from occlusionfusion_tpu.solvers.gauss_newton import (
+                GNConfig,
+                GNProblem,
+            )
+            from occlusionfusion_tpu.solvers.gauss_newton_dense import (
+                solve_dense,
+            )
+
+            gn_problem = GNProblem(
+                source_points=problem.source_points,
+                point_anchors=problem.point_anchors,
+                point_weights=problem.point_weights,
+                target_points=problem.target_points,
+                point_valid=problem.landmark_valid.astype(jnp.float32),
+                nodes=problem.nodes,
+                node_valid=problem.node_valid,
+                edges=problem.edges,
+                edge_weights=problem.edge_weights,
+                motion_targets=problem.motion_targets,
+                motion_confidence=problem.motion_confidence,
+                solve_node_mask=problem.node_valid,
+            )
+            result = solve_dense(
+                gn_problem,
+                GNConfig(
+                    iters=6,
+                    w_point=cfg.nicp.w_ldmk,
+                    w_arap=cfg.nicp.w_arap,
+                    w_motion=cfg.nicp.w_motion / 100.0,
+                ),
+                init_rotations=self.prev_R,
+                init_translations=self.prev_t,
+            )
+        else:
+            result = solve(
+                problem,
+                cfg.nicp,
+                init_rotations=self.prev_R,
+                init_translations=self.prev_t,
+            )
         self.prev_R = result.rotations
         self.prev_t = result.translations
         self.warp = W.update_transforms(
@@ -321,7 +356,11 @@ class DynamicFusion:
         )
         self.frame_id = frame.index
         info = {
-            "final_loss": float(result.final_loss),
+            "final_loss": float(
+                result.final_loss
+                if hasattr(result, "final_loss")
+                else result.residual_history[-1]
+            ),
             "n_correspondences": int(jnp.sum(corr_valid)),
             "n_visible_nodes": int(jnp.sum(node_visible)),
             "n_new_nodes": 0,
