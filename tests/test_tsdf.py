@@ -204,3 +204,45 @@ class TestWarpField:
                 want[p] += wts[p, k] * (Rg[p, a] + to[a])
         valid = np.asarray(table.valid)
         np.testing.assert_allclose(np.asarray(got)[valid], want[valid], atol=1e-4)
+
+
+class TestShardedIntegrate:
+    def test_sharded_equals_single_device(self):
+        """TSDF integrate sharded along the x voxel axis must equal the
+        unsharded result (the per-voxel math has no cross-voxel term)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if len(jax.devices()) < 2:
+            import pytest
+
+            pytest.skip("needs multiple devices")
+        from occlusionfusion_tpu.parallel.mesh import make_fusion_mesh
+
+        mesh = make_fusion_mesh(8)
+        cfg, state = make_volume()
+        pts = T.voxel_world_points(cfg, state.origin)
+        valid = jnp.ones(pts.shape[0], bool)
+        depth = wall_depth(z=1.0)
+        color = jnp.full((64, 64, 3), 90.0)
+        plain = T.integrate(cfg, state, pts, valid, depth, color, INTR)
+
+        _, state2 = make_volume()
+        vol_s = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        state2 = T.TSDFState(
+            tsdf=jax.device_put(state2.tsdf, vol_s),
+            weight=jax.device_put(state2.weight, vol_s),
+            color=jax.device_put(state2.color, vol_s),
+            origin=jax.device_put(state2.origin, repl),
+        )
+        sharded = T.integrate(
+            cfg, state2, pts, valid,
+            jax.device_put(depth, repl), jax.device_put(color, repl), INTR,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.tsdf), np.asarray(plain.tsdf), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.weight), np.asarray(plain.weight), atol=1e-6
+        )
