@@ -68,12 +68,16 @@ class FusionConfig:
     # projective targets where the blend mask is confident
     use_lepard: bool = False
     lepard_max_target_points: int = 4096
+    # optional optical-flow source (PWC-Net; flow_params required):
+    # flow-lifted per-pixel 3D targets override projective association for
+    # model points whose flowed sample is valid (run_model.py:115-217)
+    use_flow: bool = False
 
 
 class DynamicFusion:
     def __init__(self, sequence, config: FusionConfig,
                  motion_params=None, lepard_params=None,
-                 lepard_config=None):
+                 lepard_config=None, flow_params=None):
         self.seq = sequence
         self.config = config
         self.intr = sequence.intrinsics
@@ -86,6 +90,10 @@ class DynamicFusion:
         self.lepard_config = lepard_config
         if config.use_lepard and lepard_params is None:
             raise ValueError("use_lepard requires lepard_params")
+        self.flow_params = flow_params
+        if config.use_flow and flow_params is None:
+            raise ValueError("use_flow requires flow_params")
+        self.prev_frame: Optional[Frame] = None
         self.frame_id = -1
         self.prev_R = None
         self.prev_t = None
@@ -148,6 +156,7 @@ class DynamicFusion:
         # voxel skinning table (re-used every integrate)
         self.vox_table = W.skin(self.warp, self.vox_points, cfg.node_coverage)
         self.frame_id = frame.index
+        self.prev_frame = frame
         if self.motion_runner is not None:
             self.motion_runner.reset()
 
@@ -206,6 +215,42 @@ class DynamicFusion:
             deformed_nodes, depth, self.intr, self.tsdf_config.trunc_margin
         )
         node_visible = node_visible & self.node_valid
+
+        # optional optical-flow source (run_model.py:115-217 equivalent):
+        # flow predicted source->target at full res, lifted to per-pixel 3D
+        # targets; model points sample their flowed target at their source
+        # projection
+        if self.config.use_flow and self.prev_frame is not None:
+            from occlusionfusion_tpu.fusion.flow_correspondence import (
+                flow_correspondences,
+            )
+            from occlusionfusion_tpu.geometry.camera import (
+                backproject_depth,
+                bilinear_sample,
+            )
+
+            def rgbxyz(f: Frame):
+                xyz = backproject_depth(jnp.asarray(f.depth), self.intr)
+                rgb = jnp.asarray(f.color).transpose(2, 0, 1) / 255.0
+                return jnp.concatenate([rgb, xyz.transpose(2, 0, 1)], 0)
+
+            _, flow_targets, flow_valid = flow_correspondences(
+                self.flow_params, rgbxyz(self.prev_frame), rgbxyz(frame)
+            )
+            # sample flowed targets at the deformed points' projections
+            z = jnp.maximum(deformed_pts[:, 2], 1e-6)
+            u = deformed_pts[:, 0] / z * self.intr.fx + self.intr.cx
+            v = deformed_pts[:, 1] / z * self.intr.fy + self.intr.cy
+            h_im, w_im = frame.depth.shape
+            inb = (u >= 0) & (u <= w_im - 1) & (v >= 0) & (v <= h_im - 1)
+            uv = jnp.stack([u, v], -1)
+            sampled = bilinear_sample(flow_targets, uv)
+            vsamp = bilinear_sample(
+                flow_valid[..., None].astype(jnp.float32), uv
+            )[:, 0]
+            ok = inb & (vsamp > 0.5) & (deformed_pts[:, 2] > 0)
+            targets = jnp.where(ok[:, None], sampled, targets)
+            corr_valid = corr_valid | ok
 
         # optional learned scene flow (run_lepard.py:39-78 equivalent):
         # matcher flow replaces projective targets where confidently
@@ -355,6 +400,7 @@ class DynamicFusion:
             self.intr,
         )
         self.frame_id = frame.index
+        self.prev_frame = frame
         info = {
             "final_loss": float(
                 result.final_loss

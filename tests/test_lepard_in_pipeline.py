@@ -32,3 +32,21 @@ def test_pipeline_with_lepard_source():
     info = fusion.register_frame(seq.load(1))
     assert info["n_correspondences"] > 0
     assert np.isfinite(info["final_loss"])
+
+
+def test_pipeline_with_flow_source():
+    """Wiring test: the PWC-flow correspondence source runs inside the
+    fusion loop (random-init weights)."""
+    import jax
+
+    from occlusionfusion_tpu.models.pwcnet import init_pwcnet_params
+
+    seq, _ = make_sequence(n_frames=3)
+    cfg = small_config()
+    cfg.use_flow = True
+    params = init_pwcnet_params(jax.random.PRNGKey(0))
+    fusion = DynamicFusion(seq, cfg, flow_params=params)
+    fusion.initialize(seq.load(0))
+    info = fusion.register_frame(seq.load(1))
+    assert info["n_correspondences"] > 0
+    assert np.isfinite(info["final_loss"])
