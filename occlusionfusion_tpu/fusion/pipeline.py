@@ -63,6 +63,9 @@ class FusionConfig:
     growth_interval: int = 0
     # warp solver for the fused path: "nicp" or "gn_dense"
     solver: str = "nicp"
+    # explicit Gauss-Newton config for solver="gn_dense" (None = derive
+    # weights from the nicp config)
+    gn: object = None
     # optional learned scene-flow source (Lepard-style matcher); when set
     # (with lepard_params passed to DynamicFusion), matcher flow overrides
     # projective targets where the blend mask is confident
@@ -364,14 +367,15 @@ class DynamicFusion:
                 motion_confidence=problem.motion_confidence,
                 solve_node_mask=problem.node_valid,
             )
+            gn_cfg = cfg.gn if cfg.gn is not None else GNConfig(
+                iters=6,
+                w_point=cfg.nicp.w_ldmk,
+                w_arap=cfg.nicp.w_arap,
+                w_motion=cfg.nicp.w_motion / 100.0,
+            )
             result = solve_dense(
                 gn_problem,
-                GNConfig(
-                    iters=6,
-                    w_point=cfg.nicp.w_ldmk,
-                    w_arap=cfg.nicp.w_arap,
-                    w_motion=cfg.nicp.w_motion / 100.0,
-                ),
+                gn_cfg,
                 init_rotations=self.prev_R,
                 init_translations=self.prev_t,
             )
@@ -517,6 +521,7 @@ class DynamicFusion:
             max_depth_diff=cfg.max_depth_diff,
             use_motion_model=cfg.use_motion_model and motion_params is not None,
             solver=cfg.solver,
+            gn=cfg.gn,
         )
         return step_config, state, tables
 
