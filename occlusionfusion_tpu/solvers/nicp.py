@@ -46,6 +46,11 @@ class NICPConfig(NamedTuple):
     w_chamfer: float = 0.0
     w_smooth_trans: float = 0.0
     w_smooth_rot: float = 0.0
+    # rendered costs (off by default, as in config.yaml:6,10); require
+    # NICPProblem.render_* fields
+    w_silh: float = 0.0
+    w_depth: float = 0.0
+    render_hw: tuple = (0, 0)  # static image size when silh/depth on
     early_stop_loss: float = 1e-7
     chamfer_samples: int = 1000
     chamfer_trunc: float = 0.3
@@ -70,6 +75,10 @@ class NICPProblem(NamedTuple):
     # motion-completion prediction (optional; confidence 0 disables)
     motion_targets: jnp.ndarray  # [N, 3] predicted deformed node positions
     motion_confidence: jnp.ndarray  # [N]
+    # rendered-cost inputs (only consumed when w_silh/w_depth > 0):
+    # camera intrinsics as a [4] array (fx, fy, cx, cy); target depth map
+    render_intrinsics: jnp.ndarray | None = None  # [4]
+    target_depth: jnp.ndarray | None = None  # [H, W]
 
 
 class NICPResult(NamedTuple):
@@ -127,6 +136,26 @@ def _objective(params, problem: NICPProblem, config: NICPConfig, key):
             config.chamfer_trunc,
         )
         total += config.w_chamfer * terms["chamfer"]
+    if (config.w_silh or config.w_depth) and problem.target_depth is not None:
+        # rendered silhouette / projective-depth costs
+        # (registration_fusion.py:228,257-259 via the point splat)
+        from occlusionfusion_tpu.geometry.camera import Intrinsics
+        from occlusionfusion_tpu.ops.rasterize import render_depth
+
+        ri = problem.render_intrinsics
+        intr = Intrinsics(ri[0], ri[1], ri[2], ri[3])
+        src_depth, src_mask = render_depth(
+            warped, intr, config.render_hw, problem.point_valid
+        )
+        tgt_mask = problem.target_depth > 0
+        if config.w_silh:
+            terms["silh"] = losses.silhouette_cost(src_mask, tgt_mask)
+            total += config.w_silh * terms["silh"]
+        if config.w_depth:
+            terms["depth"] = losses.projective_depth_cost(
+                src_depth, problem.target_depth
+            )
+            total += config.w_depth * terms["depth"]
     return total, (warped, terms)
 
 
