@@ -147,15 +147,24 @@ def main():
             up_idxs=[pyd[f"up_sample_idx{i}"] for i in (1, 2, 3)],
         )
 
+    import sys
+
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     dicts = [frame_dict(nf, pyd) for nf, pyd in frames]
-    # warmup (compile the scan for this chunk size)
+    note(f"{len(dicts)} frames loaded; warmup chunk {chunk} "
+         "(first device->host fetch can take minutes in this environment)")
+    # warmup (compile the scan for this chunk size + first-fetch penalty)
     runner.run_chunk(dicts[:chunk])
     runner.reset()
+    note("warmup done; timing")
 
     n = (len(dicts) // chunk) * chunk
     t0 = time.perf_counter()
     for i in range(0, n, chunk):
         runner.run_chunk(dicts[i : i + chunk])
+        note(f"chunk {i // chunk + 1}/{n // chunk}")
     dt = time.perf_counter() - t0
     fps = n / dt
 
