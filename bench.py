@@ -180,28 +180,51 @@ def main():
     )
 
 
-if __name__ == "__main__":
-    # The tunneled TPU worker in this environment occasionally crashes
-    # ("TPU worker process crashed or restarted") and recovers after a few
-    # minutes. A dead worker wedges the in-process PJRT client, so retry
-    # in a FRESH subprocess (once) rather than in-process.
-    try:
-        main()
-    except Exception as exc:  # noqa: BLE001
-        import subprocess
-        import sys
-        import traceback
+def _supervise():
+    """Run the measurement in a child process under a watchdog.
 
-        traceback.print_exc()
-        if os.environ.get("BENCH_RETRY") == "1":
-            sys.exit(1)
-        print(
-            f"bench attempt 1 failed ({type(exc).__name__}); retrying in a "
-            "fresh process after 300 s",
-            file=sys.stderr,
-        )
-        time.sleep(300)
-        env = dict(os.environ, BENCH_RETRY="1")
-        sys.exit(
-            subprocess.run([sys.executable, __file__], env=env).returncode
-        )
+    The tunneled TPU worker in this environment intermittently crashes or
+    wedges its device->host path (a blocked fetch cannot be interrupted
+    in-process), so the parent stays jax-free, gives the child a hard
+    budget, and retries once in a fresh process after a cool-down.
+    """
+    import subprocess
+    import sys
+
+    budget = int(os.environ.get("BENCH_BUDGET_S", "1500"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    for attempt in (1, 2):
+        child = subprocess.Popen([sys.executable, __file__], env=env)
+        try:
+            rc = child.wait(timeout=budget)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.wait()
+            rc = -1
+            print(
+                f"[bench] attempt {attempt} exceeded {budget}s "
+                "(wedged TPU relay?)",
+                file=sys.stderr,
+                flush=True,
+            )
+        if rc == 0:
+            return 0
+        if attempt == 1:
+            print(
+                f"[bench] attempt 1 failed (rc={rc}); cooling down 300 s "
+                "then retrying in a fresh process",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(300)
+            budget *= 2
+    return 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_supervise())
