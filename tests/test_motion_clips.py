@@ -75,3 +75,69 @@ class TestMotionClips:
             if first is None:
                 first = float(loss)
         assert float(loss) < first, (first, float(loss))
+
+
+WEIGHTS = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "checkpoints",
+    "motion_complete.npz",
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(WEIGHTS), reason="no converted weights"
+)
+def test_pretrained_beats_zero_motion_on_occluded(tmp_path):
+    """The converted reference checkpoint must beat the zero-motion
+    baseline on OCCLUDED nodes of a synthetic clip zero-shot — a semantic
+    guard on both the checkpoint conversion and the clip pipeline
+    (measured: EPE ~0.52 vs baseline ~0.65 normalized units). Needs a
+    clip with SUBSTANTIAL nonrigid motion: on near-rigid clips the zero
+    baseline is unbeatable by construction."""
+    from occlusionfusion_tpu.graph import native
+    from occlusionfusion_tpu.models.checkpoint import load_params
+    from occlusionfusion_tpu.models.motion_complete import (
+        motion_complete_forward,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 22
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    c = (n - 1) / 2.0
+    sdf = np.linalg.norm(g - c, axis=0) - 7.0
+    verts, faces = native.marching_cubes(sdf)
+    verts = (verts * 0.018).astype(np.float32)
+    ax = rng.randn(3)
+    ax /= np.linalg.norm(ax)
+    offs = []
+    for f in range(1, 12):
+        phase = f * 0.35
+        bend = (
+            0.006 * np.sin(verts @ ax * 10 + phase)[:, None] * rng.randn(1, 3)
+        )
+        offs.append(bend.astype(np.float32))
+    clip_path = str(tmp_path / "deforming.anime")
+    save_anime(clip_path, verts, faces, np.stack(offs))
+
+    params = jax.tree.map(jnp.asarray, load_params(WEIGHTS))
+    samples, _ = clip_to_training_samples(
+        clip_path,
+        MotionClipConfig(node_coverage=0.05, visibility_dropout=0.4),
+        seed=3,
+    )
+    errs, base = [], []
+    for s in samples:
+        pred = motion_complete_forward(
+            params,
+            jnp.asarray(s.pos),
+            jnp.asarray(s.curr_motion),
+            jnp.asarray(s.history),
+            jnp.int32(s.history_len),
+            jax.tree.map(jnp.asarray, s.pyramid),
+        )
+        mu = np.asarray(pred[:, :3])
+        occ = (s.curr_motion[:, 3] < 0.5) & (s.node_mask > 0.5)
+        if not occ.any():
+            continue
+        errs.append(np.linalg.norm(mu[occ] - s.gt_motion[occ], axis=1).mean())
+        base.append(np.linalg.norm(s.gt_motion[occ], axis=1).mean())
+    assert np.mean(errs) < np.mean(base), (np.mean(errs), np.mean(base))
