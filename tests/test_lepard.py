@@ -222,3 +222,52 @@ class TestDeepKPFCN:
         feats, coarse = K.kpfcn_encode(params, cfg, levels)
         assert feats.shape == (32, cfg.out_dim)
         assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+class TestAttentionOracle:
+    def test_attention_layer_matches_numpy(self):
+        """Dense MHA in the repositioning transformer vs a numpy oracle."""
+        import math
+
+        D, heads, P, S = 16, 4, 5, 7
+        p = TR.init_attention_params(jax.random.PRNGKey(3), D, heads)
+        rng = np.random.RandomState(1)
+        x = rng.randn(P, D).astype(np.float32)
+        src = rng.randn(S, D).astype(np.float32)
+        src_valid = np.asarray([True] * 5 + [False] * 2)
+
+        got = TR.attention_layer(
+            p, jnp.asarray(x), jnp.asarray(src), jnp.ones(P, bool),
+            jnp.asarray(src_valid), heads,
+        )
+
+        def lin(pp, v):
+            return v @ np.asarray(pp["w"]) + np.asarray(pp["b"])
+
+        q = lin(p["q"], x).reshape(P, heads, -1)
+        k = lin(p["k"], src).reshape(S, heads, -1)
+        v = lin(p["v"], src).reshape(S, heads, -1)
+        dh = D // heads
+        msg = np.zeros((P, heads, dh), np.float32)
+        for h in range(heads):
+            logits = q[:, h] @ k[:, h].T / math.sqrt(dh)
+            logits[:, ~src_valid] = -1e30
+            a = np.exp(logits - logits.max(1, keepdims=True))
+            a /= a.sum(1, keepdims=True)
+            msg[:, h] = a @ v[:, h]
+        m = lin(p["merge"], msg.reshape(P, D))
+
+        def ln(scale, bias, t):
+            mu = t.mean(-1, keepdims=True)
+            var = t.var(-1, keepdims=True)
+            return (t - mu) / np.sqrt(var + 1e-5) * np.asarray(scale) + np.asarray(bias)
+
+        m = ln(p["norm1_scale"], p["norm1_bias"], m)
+        h_cat = np.concatenate([x, m], -1)
+        gelu = lambda t: 0.5 * t * (1 + np.tanh(
+            np.sqrt(2 / np.pi) * (t + 0.044715 * t**3)))
+        hh = gelu(lin(p["mlp1"], h_cat))
+        hh = lin(p["mlp2"], hh)
+        hh = ln(p["norm2_scale"], p["norm2_bias"], hh)
+        want = x + hh
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
