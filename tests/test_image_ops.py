@@ -118,3 +118,27 @@ class TestPixelAnchors:
         assert covered.sum() > 100
         s = weights.sum(-1)
         np.testing.assert_allclose(s[covered], 1.0, atol=1e-3)
+
+
+class TestGTHelpers:
+    def test_mask_gt_agreement(self):
+        from occlusionfusion_tpu.ops.gt_helpers import deformed_gt_points, mask_gt
+
+        pts = plane_points()
+        flow = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.05]), pts.shape)
+        target = plane_points(z=1.05)  # exactly where the flow lands
+        m = mask_gt(pts, flow, target, INTR)
+        assert bool(m[16, 16])
+        # wrong target depth -> negative mask
+        target_bad = plane_points(z=1.3)
+        m2 = mask_gt(pts, flow, target_bad, INTR)
+        assert not bool(m2[16, 16])
+
+    def test_deformed_gt_zero_depth_invalid(self):
+        from occlusionfusion_tpu.ops.gt_helpers import deformed_gt_points
+
+        pts = plane_points()
+        pts = pts.at[0, 0, 2].set(0.0)
+        out, valid = deformed_gt_points(pts, jnp.ones_like(pts))
+        assert not bool(valid[0, 0])
+        np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0)
