@@ -89,7 +89,7 @@ def bench_fusion():
     fusion.initialize(seq.load(0))
     sc, state, tables = fusion.build_fused()
     state, info = fusion.register_frame_fused(sc, state, tables, seq.load(1))
-    jax.block_until_ready(info)
+    jax.block_until_ready(info)  # completion only; no readback (CLAUDE.md)
     n = 20
     t0 = time.perf_counter()
     for i in range(n):
@@ -201,7 +201,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "motion_completion_demo_fps",
+                "metric": "motion_completion_device_fps",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
