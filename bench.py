@@ -79,7 +79,8 @@ def bench_fusion():
 
     cfg = FusionConfig(
         vol_dim=(64, 64, 64), voxel_size=0.008, node_coverage=0.03,
-        max_nodes=512, max_points=4096, max_depth_diff=0.05,
+        max_nodes=int(os.environ.get("BENCH_MAX_NODES", "128")),
+        max_points=4096, max_depth_diff=0.05,
         graph=GraphConfig(node_coverage=0.03, min_neighbors=2),
         nicp=NICPConfig(iters=100, w_motion=0.0, lr=0.02),
         use_motion_model=False, solver="gn_dense",
