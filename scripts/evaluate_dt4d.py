@@ -50,6 +50,7 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--solver", default="gn_dense")
+    ap.add_argument("--use_motion_model", action="store_true")
     ap.add_argument("--out", default=None, help="write metrics JSON here")
     args = ap.parse_args()
 
@@ -81,6 +82,13 @@ def main():
     colors = [np.full(depths[0].shape + (3,), 128.0, np.float32) for _ in depths]
     seq = ArraySequence(colors, list(depths), intr)
 
+    motion_params = None
+    if args.use_motion_model:
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_motion_complete_params,
+        )
+
+        motion_params = load_motion_complete_params()
     cfg = FusionConfig(
         vol_dim=(64, 64, 64),
         voxel_size=0.006,
@@ -89,14 +97,17 @@ def main():
         max_points=4096,
         max_depth_diff=0.04,
         graph=GraphConfig(node_coverage=0.03, min_neighbors=2),
-        nicp=NICPConfig(iters=100, w_motion=0.0, lr=0.02),
-        use_motion_model=False,
+        nicp=NICPConfig(
+            iters=100, w_motion=100.0 if args.use_motion_model else 0.0,
+            lr=0.02,
+        ),
+        use_motion_model=args.use_motion_model,
         solver=args.solver,
     )
-    fusion = DynamicFusion(seq, cfg)
+    fusion = DynamicFusion(seq, cfg, motion_params=motion_params)
     t0 = time.perf_counter()
     fusion.initialize(seq.load(0))
-    sc, state, tables = fusion.build_fused()
+    sc, state, tables = fusion.build_fused(motion_params)
 
     # track the GT vertices through the estimated warp field each frame
     gt0 = jnp.asarray(gt[0])
@@ -108,7 +119,9 @@ def main():
     per_frame_epe = []
     tracked = [np.asarray(gt[0])]
     for i in range(1, args.frames):
-        state, info = fusion.register_frame_fused(sc, state, tables, seq.load(i))
+        state, info = fusion.register_frame_fused(
+            sc, state, tables, seq.load(i), motion_params
+        )
         warp = W.WarpFieldState(
             tables.nodes, tables.node_valid, state.rotations, state.translations
         )
