@@ -4,6 +4,12 @@
 Usage: python scripts/convert_checkpoint.py [tar_path] [npz_path]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 
 from occlusionfusion_tpu.models.checkpoint import convert_torch_checkpoint

@@ -8,6 +8,12 @@ frame to a synthetic depth map (point-splat rasterizer) and writes 16-bit
 depth PNGs + flat-gray color JPGs.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 

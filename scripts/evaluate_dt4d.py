@@ -12,6 +12,12 @@ Usage:
   python scripts/evaluate_dt4d.py --synthetic   # built-in deforming blob
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time

@@ -15,6 +15,12 @@ Example:
       --out warped.ply --solver gn_dense
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 
 import numpy as np

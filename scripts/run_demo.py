@@ -10,6 +10,12 @@ Runs the whole per-frame pipeline as one jitted TPU step; the host only
 pads and does file IO.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 import time

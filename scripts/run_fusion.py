@@ -11,6 +11,12 @@ Example:
       --results out/ --export_mesh_every 10
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import os

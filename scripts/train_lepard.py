@@ -8,6 +8,12 @@ clouds with known correspondences) — which suffices to verify the whole
 train path end to end and to bootstrap features.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

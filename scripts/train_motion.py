@@ -13,6 +13,12 @@ for paper-faithful training.
 Runs data-parallel over all local devices (see models/motion_train.py).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

@@ -10,6 +10,12 @@ confidence; assemble into a video with ffmpeg if desired.
       --output data/output --frames 1 50 100 --out_dir viz/
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 
