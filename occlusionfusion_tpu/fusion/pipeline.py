@@ -457,6 +457,19 @@ class DynamicFusion:
             self.point_table = W.skin(
                 self.warp, self.model_points, cfg.node_coverage
             )
+            # rebuild the motion-model pyramid over the grown node set
+            # (the GNN would otherwise keep routing messages through the
+            # pre-growth pyramid and never see the new nodes)
+            if self.motion_runner is not None:
+                from occlusionfusion_tpu.graph.edgraph import (
+                    build_pyramid_from_nodes,
+                )
+
+                self.graph.pyramid = build_pyramid_from_nodes(
+                    np.asarray(self.nodes[: self.node_count]),
+                    cfg.graph.node_coverage,
+                    edges=np.asarray(self.edges[: self.node_count]),
+                )
         return res.n_new
 
     # ------------------------------------------------------------------

@@ -185,6 +185,24 @@ def build_regular_graph(
     )
 
 
+def _greedy_subsample(old_nodes: np.ndarray, coverage: float):
+    """Greedy subsample with nearest-accepted up-map (edg.py:276-301)."""
+    down_idx: list[int] = []
+    up_idx: list[int] = []
+    for i in range(old_nodes.shape[0]):
+        if not down_idx:
+            up_idx.append(0)
+            down_idx.append(i)
+            continue
+        d = np.linalg.norm(old_nodes[down_idx] - old_nodes[i], axis=1)
+        nearest = int(np.argmin(d))
+        up_idx.append(nearest)
+        if d[nearest] < coverage:
+            continue
+        down_idx.append(i)
+    return down_idx, up_idx
+
+
 def build_graph_pyramid(data: GraphData, config: GraphConfig) -> Dict[str, np.ndarray]:
     """4-level pyramid with the demo npz key layout
     (nn_index_l{0..3}, down_sample_idx{1..3}, up_sample_idx{1..3})."""
@@ -194,20 +212,7 @@ def build_graph_pyramid(data: GraphData, config: GraphConfig) -> Dict[str, np.nd
     coverage = config.node_coverage
     for level in range(1, 4):
         coverage *= 2.0
-        # greedy subsample with nearest-accepted up-map (edg.py:276-301)
-        down_idx: list[int] = []
-        up_idx: list[int] = []
-        for i in range(old_nodes.shape[0]):
-            if not down_idx:
-                up_idx.append(0)
-                down_idx.append(i)
-                continue
-            d = np.linalg.norm(old_nodes[down_idx] - old_nodes[i], axis=1)
-            nearest = int(np.argmin(d))
-            up_idx.append(nearest)
-            if d[nearest] < coverage:
-                continue
-            down_idx.append(i)
+        down_idx, up_idx = _greedy_subsample(old_nodes, coverage)
         node_vertex_ids = node_vertex_ids[down_idx]
         k = PYRAMID_KS[level]
         edges, _ = native.geodesic_edges(
@@ -217,4 +222,52 @@ def build_graph_pyramid(data: GraphData, config: GraphConfig) -> Dict[str, np.nd
         pyd[f"up_sample_idx{level}"] = np.asarray(up_idx, np.int16)
         pyd[f"nn_index_l{level}"] = edges.astype(np.int16)
         old_nodes = old_nodes[down_idx]
+    return pyd
+
+
+def _euclidean_knn_edges(points: np.ndarray, k: int) -> np.ndarray:
+    """[n, k] nearest-neighbor table (self excluded), -1 padded."""
+    n = points.shape[0]
+    out = -np.ones((n, k), np.int32)
+    if n <= 1:
+        return out
+    d = np.linalg.norm(points[:, None] - points[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    k_eff = min(k, n - 1)
+    idx = np.argpartition(d, k_eff - 1, axis=1)[:, :k_eff]
+    # order the selected neighbors by distance for determinism
+    order = np.argsort(np.take_along_axis(d, idx, axis=1), axis=1)
+    out[:, :k_eff] = np.take_along_axis(idx, order, axis=1).astype(np.int32)
+    return out
+
+
+def build_pyramid_from_nodes(
+    nodes: np.ndarray,
+    node_coverage: float,
+    edges: np.ndarray | None = None,
+    ks=PYRAMID_KS,
+) -> Dict[str, np.ndarray]:
+    """Pyramid rebuild without a source mesh (graph-growth keyframes).
+
+    Grown nodes have no geodesic context — the reference's incremental
+    update path also falls back to euclidean neighbors there
+    (``embedded_deformation_graph.py:496-609``). Level-0 edges default to
+    the live graph's edge table; coarser levels use euclidean k-NN over
+    the greedy-subsampled node sets, coverage doubling per level as in
+    ``create_graph_pyramid`` (edg.py:261-331).
+    """
+    l0 = edges if edges is not None else _euclidean_knn_edges(nodes, ks[0])
+    pyd: Dict[str, np.ndarray] = {"nn_index_l0": l0.astype(np.int16)}
+    old_nodes = nodes
+    coverage = node_coverage
+    for level in range(1, 4):
+        coverage *= 2.0
+        down_idx, up_idx = _greedy_subsample(old_nodes, coverage)
+        sub = old_nodes[down_idx]
+        pyd[f"down_sample_idx{level}"] = np.asarray(down_idx, np.int16)
+        pyd[f"up_sample_idx{level}"] = np.asarray(up_idx, np.int16)
+        pyd[f"nn_index_l{level}"] = _euclidean_knn_edges(
+            sub, ks[level]
+        ).astype(np.int16)
+        old_nodes = sub
     return pyd

@@ -74,3 +74,74 @@ class TestGrowth:
         )
         assert res.n_new == 0
         assert res.node_count == 4
+
+
+class TestPyramidRebuild:
+    """Growth keyframes rebuild the motion-model pyramid (euclidean)."""
+
+    def _grown_nodes(self, n=40):
+        rng = np.random.RandomState(3)
+        return (rng.rand(n, 3) * 0.4).astype(np.float32)
+
+    def test_pyramid_invariants(self):
+        from occlusionfusion_tpu.graph.edgraph import (
+            PYRAMID_KS,
+            build_pyramid_from_nodes,
+        )
+
+        nodes = self._grown_nodes()
+        pyd = build_pyramid_from_nodes(nodes, node_coverage=0.05)
+        sizes = [pyd[f"nn_index_l{l}"].shape[0] for l in range(4)]
+        assert sizes[0] == nodes.shape[0]
+        assert sizes[0] >= sizes[1] >= sizes[2] >= sizes[3] >= 1
+        for l in range(4):
+            nn = pyd[f"nn_index_l{l}"]
+            assert nn.shape[1] == PYRAMID_KS[l]
+            # neighbor ids index into the same level; -1 = missing
+            assert nn.max() < sizes[l]
+            assert (nn >= -1).all()
+            # no self loops
+            rows = np.arange(sizes[l])[:, None]
+            assert not ((nn == rows) & (nn >= 0)).any()
+        for i in (1, 2, 3):
+            down = pyd[f"down_sample_idx{i}"]
+            up = pyd[f"up_sample_idx{i}"]
+            assert down.shape[0] == sizes[i]
+            assert up.shape[0] == sizes[i - 1]
+            # down indexes the finer level, up indexes the coarser level
+            # (up_idx[i] is assigned before i is accepted — edg.py:276-301
+            # — so kept nodes need not map to themselves)
+            assert down.max() < sizes[i - 1]
+            assert up.max() < sizes[i]
+
+    def test_level0_edges_passthrough(self):
+        from occlusionfusion_tpu.graph.edgraph import build_pyramid_from_nodes
+
+        nodes = self._grown_nodes(10)
+        edges = -np.ones((10, 8), np.int32)
+        edges[:, 0] = (np.arange(10) + 1) % 10
+        pyd = build_pyramid_from_nodes(nodes, 0.05, edges=edges)
+        np.testing.assert_array_equal(pyd["nn_index_l0"], edges.astype(np.int16))
+
+    def test_motion_runner_consumes_rebuilt_pyramid(self):
+        import jax
+
+        from occlusionfusion_tpu.fusion.motion_runner import (
+            MotionCompletionRunner,
+        )
+        from occlusionfusion_tpu.graph.edgraph import build_pyramid_from_nodes
+        from occlusionfusion_tpu.models.motion_complete import init_params
+
+        nodes = self._grown_nodes(30)
+        pyd = build_pyramid_from_nodes(nodes, node_coverage=0.05)
+        runner = MotionCompletionRunner(init_params(jax.random.PRNGKey(0)))
+        motion, conf = runner.run_frame(
+            node_pos=nodes,
+            node_motion=np.zeros_like(nodes),
+            visible=np.ones(len(nodes), bool),
+            nn_indexes=[pyd[f"nn_index_l{l}"] for l in range(4)],
+            down_idxs=[pyd[f"down_sample_idx{i}"] for i in (1, 2, 3)],
+            up_idxs=[pyd[f"up_sample_idx{i}"] for i in (1, 2, 3)],
+        )
+        assert motion.shape == (30, 3) and conf.shape == (30,)
+        assert np.isfinite(motion).all() and np.isfinite(conf).all()
