@@ -29,6 +29,7 @@ from occlusionfusion_tpu.fusion.correspondence import (
     projective_correspondences,
 )
 from occlusionfusion_tpu.fusion.motion_runner import (
+    LEVEL_SIZES,
     MotionRunnerState,
     _unpack_pyramid,
     motion_step,
@@ -74,6 +75,10 @@ class FusedStepConfig(NamedTuple):
     # faster per solve on TPU at equal accuracy; see solvers/)
     solver: str = "nicp"
     gn: "GNConfig" = None  # type: ignore[assignment]
+    # motion-completion pyramid padding buckets; must equal
+    # level_sizes_for(node cap) so pyramid_ints, the GNN shapes and the
+    # carried MotionRunnerState agree (level_sizes[0] == node cap)
+    motion_levels: tuple = LEVEL_SIZES
 
 
 @functools.partial(
@@ -147,7 +152,7 @@ def _fused_register_frame_impl(
 
     # 4. motion completion (resident GNN state)
     if config.use_motion_model and motion_params is not None:
-        pyramid = _unpack_pyramid(tables.pyramid_ints)
+        pyramid = _unpack_pyramid(tables.pyramid_ints, config.motion_levels)
         motion_state, (completed, conf) = motion_step(
             motion_params,
             state.motion,
@@ -156,6 +161,7 @@ def _fused_register_frame_impl(
             node_observed,
             tables.n_nodes,
             pyramid,
+            n0_cap=config.motion_levels[0],
         )
         motion_targets = deformed_nodes + completed
         motion_conf = conf[:, 0]

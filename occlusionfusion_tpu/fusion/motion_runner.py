@@ -38,6 +38,19 @@ LEVEL_SIZES = (512, 128, 32, 32)
 LEVEL_KS = (8, 6, 4, 3)
 
 
+def level_sizes_for(n0_cap: int) -> tuple[int, int, int, int]:
+    """Pyramid padding buckets for a given node cap.
+
+    Coverage doubles per level, so the greedy subsample shrinks each
+    level ~4x (demo: 429/91/25/17); buckets follow that with a floor of
+    32. n0_cap=512 reproduces LEVEL_SIZES exactly (compile-cache and
+    golden-test stability for the demo-scale configuration)."""
+    if n0_cap == LEVEL_SIZES[0]:
+        return LEVEL_SIZES
+    c = max(32, n0_cap // 16)
+    return (n0_cap, max(32, n0_cap // 4), c, c)
+
+
 class MotionRunnerState(NamedTuple):
     """Cross-frame carried state (a donated jit argument)."""
 
@@ -237,6 +250,7 @@ def motion_step(
 # cost from ~75 ms to ~5 ms.
 
 
+@functools.lru_cache(maxsize=None)
 def _packed_layout(level_sizes=LEVEL_SIZES, ks=LEVEL_KS):
     """Static int-vector layout: [n_levels(4) | edge_dst per level |
     down(3) | up(3)], padding encoded as -1."""
@@ -267,10 +281,15 @@ def pack_frame(
     level_sizes=LEVEL_SIZES,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side packing -> (ints [L], floats [N0, 7])."""
-    offsets, total = _PACK_OFFSETS, _PACK_LEN
+    offsets, total = _packed_layout(tuple(level_sizes))
     ints = np.full((total,), -1, np.int32)
     ints[0:4] = [nn.shape[0] for nn in nn_indexes]
     for l, nn in enumerate(nn_indexes):
+        if nn.shape[0] > level_sizes[l]:
+            raise ValueError(
+                f"pyramid level {l} has {nn.shape[0]} nodes, exceeds the "
+                f"padding bucket {level_sizes[l]} (level_sizes={level_sizes})"
+            )
         off, ln = offsets[f"nn{l}"]
         k = nn.shape[1]
         block = np.full((level_sizes[l], k), -1, np.int32)
@@ -291,7 +310,7 @@ def pack_frame(
 
 
 def _unpack_pyramid(ints: jnp.ndarray, level_sizes=LEVEL_SIZES, ks=LEVEL_KS):
-    offsets, _ = _PACK_OFFSETS, _PACK_LEN
+    offsets, _ = _packed_layout(tuple(level_sizes), tuple(ks))
     edge_src, edge_dst, edge_mask = [], [], []
     for l, (cap, k) in enumerate(zip(level_sizes, ks)):
         off, ln = offsets[f"nn{l}"]
@@ -319,15 +338,19 @@ def _unpack_pyramid(ints: jnp.ndarray, level_sizes=LEVEL_SIZES, ks=LEVEL_KS):
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
+@functools.partial(
+    jax.jit, static_argnames=("level_sizes",), donate_argnums=(1,)
+)
 def motion_step_packed(params, state: MotionRunnerState, ints: jnp.ndarray,
-                       floats: jnp.ndarray):
-    return _motion_step_packed_impl(params, state, ints, floats)
+                       floats: jnp.ndarray, level_sizes=LEVEL_SIZES):
+    return _motion_step_packed_impl(params, state, ints, floats, level_sizes)
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
+@functools.partial(
+    jax.jit, static_argnames=("level_sizes",), donate_argnums=(1,)
+)
 def motion_scan(params, state: MotionRunnerState, ints: jnp.ndarray,
-                floats: jnp.ndarray):
+                floats: jnp.ndarray, level_sizes=LEVEL_SIZES):
     """Process a CHUNK of frames in one dispatch via lax.scan.
 
     ints [K, L], floats [K, N0, 7] -> (state, outputs [K, N0, 4]).
@@ -342,7 +365,7 @@ def motion_scan(params, state: MotionRunnerState, ints: jnp.ndarray,
     def body(state, frame):
         ints_f, floats_f = frame
         state, (motion, conf) = _motion_step_packed_impl(
-            params, state, ints_f, floats_f
+            params, state, ints_f, floats_f, level_sizes
         )
         return state, jnp.concatenate([motion, conf], axis=-1)
 
@@ -350,8 +373,9 @@ def motion_scan(params, state: MotionRunnerState, ints: jnp.ndarray,
     return state, outs
 
 
-def _motion_step_packed_impl(params, state, ints, floats):
-    pyramid = _unpack_pyramid(ints)
+def _motion_step_packed_impl(params, state, ints, floats,
+                             level_sizes=LEVEL_SIZES):
+    pyramid = _unpack_pyramid(ints, level_sizes)
     return motion_step(
         params,
         state,
@@ -360,6 +384,7 @@ def _motion_step_packed_impl(params, state, ints, floats):
         floats[:, 6] > 0.5,
         ints[0],
         pyramid,
+        n0_cap=level_sizes[0],
     )
 
 
@@ -369,6 +394,9 @@ class MotionCompletionRunner:
     def __init__(self, params, n0_cap: int = LEVEL_SIZES[0]):
         self.params = jax.tree.map(jnp.asarray, params)
         self.n0_cap = n0_cap
+        # pyramid padding buckets consistent with the node cap — the
+        # packed layout, the GNN shapes and the carried state must agree
+        self.level_sizes = level_sizes_for(n0_cap)
         self.state = init_state(n0_cap)
 
     def reset(self):
@@ -385,10 +413,12 @@ class MotionCompletionRunner:
     ):
         n = node_pos.shape[0]
         ints, floats = pack_frame(
-            node_pos, node_motion, visible, nn_indexes, down_idxs, up_idxs
+            node_pos, node_motion, visible, nn_indexes, down_idxs, up_idxs,
+            level_sizes=self.level_sizes,
         )
         self.state, (motion, conf) = motion_step_packed(
-            self.params, self.state, jnp.asarray(ints), jnp.asarray(floats)
+            self.params, self.state, jnp.asarray(ints), jnp.asarray(floats),
+            level_sizes=self.level_sizes,
         )
         # fetch the full padded arrays and slice on host — slicing the
         # device array with a frame-varying n would recompile per count
@@ -406,13 +436,17 @@ class MotionCompletionRunner:
             ints, floats = pack_frame(
                 f["node_pos"], f["node_motion"], f["visible"],
                 f["nn_indexes"], f["down_idxs"], f["up_idxs"],
+                level_sizes=self.level_sizes,
             )
             ints_list.append(ints)
             floats_list.append(floats)
             counts.append(f["node_pos"].shape[0])
         ints_b = jnp.asarray(np.stack(ints_list))
         floats_b = jnp.asarray(np.stack(floats_list))
-        self.state, outs = motion_scan(self.params, self.state, ints_b, floats_b)
+        self.state, outs = motion_scan(
+            self.params, self.state, ints_b, floats_b,
+            level_sizes=self.level_sizes,
+        )
         outs = np.asarray(outs)
         return [
             (outs[i, : counts[i], :3], outs[i, : counts[i], 3])

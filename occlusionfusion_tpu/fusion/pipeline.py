@@ -199,6 +199,12 @@ class DynamicFusion:
         cfg = self.config
         depth = jnp.asarray(frame.depth)
         color = jnp.asarray(frame.color)
+        # boundary pixels are excluded from correspondence search but
+        # still integrated (the reference uses its boundary mask for
+        # match validity only, model/dataset.py:212, model/model.py:202)
+        corr_depth = depth
+        if frame.boundary is not None:
+            corr_depth = jnp.where(jnp.asarray(frame.boundary), 0.0, depth)
 
         # 1. deform model + nodes with current estimate
         deformed_pts = W.deform_points(
@@ -210,7 +216,7 @@ class DynamicFusion:
         targets, corr_valid = projective_correspondences(
             deformed_pts,
             self.model_valid & self.point_table.valid,
-            depth,
+            corr_depth,
             self.intr,
             max_depth_diff=cfg.max_depth_diff,
         )
@@ -484,13 +490,15 @@ class DynamicFusion:
             FusionTables,
         )
         from occlusionfusion_tpu.fusion.motion_runner import (
-            _PACK_LEN,
+            _packed_layout,
             init_state,
+            level_sizes_for,
             pack_frame,
         )
 
         cfg = self.config
         cap = cfg.max_nodes
+        motion_levels = level_sizes_for(cap)
         if motion_params is not None and cfg.use_motion_model:
             # pack the (static) pyramid into the device-resident int vector
             dummy = np.zeros((self.node_count, 3), np.float32)
@@ -499,10 +507,12 @@ class DynamicFusion:
                 [self.graph.pyramid[f"nn_index_l{l}"] for l in range(4)],
                 [self.graph.pyramid[f"down_sample_idx{i}"] for i in (1, 2, 3)],
                 [self.graph.pyramid[f"up_sample_idx{i}"] for i in (1, 2, 3)],
+                level_sizes=motion_levels,
             )
             pyramid_ints = jnp.asarray(ints)
         else:
-            pyramid_ints = jnp.zeros((_PACK_LEN,), jnp.int32)
+            _, pack_len = _packed_layout(motion_levels)
+            pyramid_ints = jnp.zeros((pack_len,), jnp.int32)
         tables = FusionTables(
             vox_points=self.vox_points,
             vox_anchors=self.vox_table.anchors,
@@ -535,6 +545,7 @@ class DynamicFusion:
             use_motion_model=cfg.use_motion_model and motion_params is not None,
             solver=cfg.solver,
             gn=cfg.gn,
+            motion_levels=motion_levels,
         )
         return step_config, state, tables
 

@@ -89,3 +89,53 @@ class TestFusedStep:
         assert info.shape == (4,)
         assert info[1] > 100  # correspondences found
         assert np.isfinite(info).all()
+
+
+class TestMotionAtNonDefaultCap:
+    """Motion completion must work at any node cap, not just the
+    demo-scale 512 bucket (the packed pyramid layout, the GNN shapes and
+    the carried runner state all derive from level_sizes_for(cap))."""
+
+    @pytest.fixture(scope="class")
+    def motion_params(self):
+        import jax
+
+        from occlusionfusion_tpu.models.motion_complete import init_params
+
+        return init_params(jax.random.PRNGKey(0))
+
+    def test_stepwise_register_frame(self, motion_params):
+        import dataclasses
+
+        seq, _ = make_sequence(n_frames=3)
+        cfg = dataclasses.replace(small_config(), use_motion_model=True)
+        assert cfg.max_nodes != 512
+        fusion = DynamicFusion(seq, cfg, motion_params=motion_params)
+        fusion.initialize(seq.load(0))
+        assert fusion.motion_runner.level_sizes[0] == cfg.max_nodes
+        for i in (1, 2):
+            info = fusion.register_frame(seq.load(i))
+            assert np.isfinite(info["final_loss"])
+
+    def test_fused_matches_stepwise_with_motion(self, motion_params):
+        import dataclasses
+
+        seq, _ = make_sequence(n_frames=3)
+        cfg = dataclasses.replace(small_config(), use_motion_model=True)
+        stepwise = DynamicFusion(seq, cfg, motion_params=motion_params)
+        stepwise.initialize(seq.load(0))
+        fused = DynamicFusion(seq, cfg, motion_params=motion_params)
+        fused.initialize(seq.load(0))
+        step_config, state, tables = fused.build_fused(motion_params)
+        assert step_config.motion_levels[0] == cfg.max_nodes
+        for i in (1, 2):
+            frame = seq.load(i)
+            stepwise.register_frame(frame)
+            state, info = fused.register_frame_fused(
+                step_config, state, tables, frame, motion_params=motion_params
+            )
+        np.testing.assert_allclose(
+            np.asarray(state.translations),
+            np.asarray(stepwise.warp.translations),
+            atol=1e-4,
+        )
