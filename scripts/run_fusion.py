@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--growth_interval", type=int, default=0)
     ap.add_argument("--no_motion_model", action="store_true")
     ap.add_argument("--export_mesh_every", type=int, default=0)
+    ap.add_argument("--max_depth", type=float, default=0.0,
+                    help="zero depth beyond this cutoff (m); 0 = off")
+    ap.add_argument("--depth_filter_size", type=int, default=0,
+                    help="median depth filter window; 0 = off")
+    ap.add_argument("--boundary_dist", type=float, default=0.0,
+                    help="exclude correspondences at depth discontinuities"
+                         " larger than this (m); 0 = off")
     args = ap.parse_args()
 
     from occlusionfusion_tpu.fusion.frame_loader import RGBDSequence
@@ -71,7 +78,12 @@ def main():
         use_motion_model=motion_params is not None,
         growth_interval=args.growth_interval,
     )
-    seq = RGBDSequence(args.datadir)
+    seq = RGBDSequence(
+        args.datadir,
+        max_depth=args.max_depth,
+        depth_filter_size=args.depth_filter_size,
+        boundary_dist=args.boundary_dist,
+    )
     fusion = DynamicFusion(seq, config, motion_params=motion_params)
 
     os.makedirs(args.results, exist_ok=True)

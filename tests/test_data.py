@@ -145,3 +145,91 @@ class TestSnapshot:
         assert mgr.maybe_save("x", {"v": np.ones(2)})
         assert not mgr.maybe_save("x", {"v": np.ones(2)})
         assert mgr.maybe_save("x", {"v": np.ones(2)}, force=True)
+
+
+class TestLoaderPreprocessing:
+    """RGBDSequence preprocessing options (median filter, max-depth
+    cutoff, boundary mask) and their plumb into the pipeline."""
+
+    def _write_seq(self, tmp_path, depth):
+        from PIL import Image
+
+        d = tmp_path / "seq"
+        (d / "color").mkdir(parents=True)
+        (d / "depth").mkdir()
+        np.savetxt(d / "intrinsics.txt", np.array(
+            [[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]]))
+        Image.fromarray(
+            np.clip(depth * 1000, 0, 65535).astype(np.uint16)
+        ).save(d / "depth" / "000000.png")
+        Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(
+            d / "color" / "000000.jpg")
+        return str(d)
+
+    def _noisy_depth(self):
+        depth = np.full((64, 64), 1.0, np.float32)
+        depth[10, 10] = 1.8  # speckle outlier (within the depth cutoff)
+        depth[:, 40:] = 2.5  # plane at a different depth (a discontinuity)
+        return depth
+
+    def test_median_filter_numpy_matches_jax(self):
+        import jax
+
+        from occlusionfusion_tpu.fusion.frame_loader import (
+            median_filter_depth_np,
+        )
+        from occlusionfusion_tpu.ops.image_warp import median_filter_depth
+
+        rng = np.random.RandomState(0)
+        depth = rng.rand(32, 48).astype(np.float32) + 0.5
+        depth[rng.rand(32, 48) < 0.1] = 0.0
+        a = median_filter_depth_np(depth, size=5, max_deviation=0.05)
+        b = np.asarray(median_filter_depth(depth, size=5, max_deviation=0.05))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_loader_options(self, tmp_path):
+        from occlusionfusion_tpu.fusion.frame_loader import RGBDSequence
+
+        path = self._write_seq(tmp_path, self._noisy_depth())
+        plain = RGBDSequence(path).load(0)
+        assert plain.boundary is None
+        assert plain.depth[10, 10] > 1.7
+
+        seq = RGBDSequence(path, max_depth=2.0, depth_filter_size=5,
+                           boundary_dist=0.3)
+        f = seq.load(0)
+        # max_depth zeroed the far plane, median filter removed the speckle
+        assert (f.depth[:, 45:] == 0).all()
+        assert abs(f.depth[10, 10] - 1.0) < 1e-3
+        # boundary mask marks the filtered-plane discontinuity edge
+        assert f.boundary is not None and f.boundary.any()
+        assert f.boundary[:, 38:42].any()
+        # interior away from the discontinuity is clean (image borders are
+        # marked, as in the reference's zero-padded shifts)
+        assert not f.boundary[1:-1, 1:35].any()
+
+    def test_boundary_excludes_correspondences(self):
+        from occlusionfusion_tpu.fusion.correspondence import (
+            projective_correspondences,
+        )
+        from occlusionfusion_tpu.fusion.frame_loader import boundary_mask_np
+        from occlusionfusion_tpu.geometry.camera import Intrinsics
+        import jax.numpy as jnp
+
+        intr = Intrinsics(np.float32(100.0), np.float32(100.0),
+                          np.float32(32.0), np.float32(32.0))
+        depth = np.full((64, 64), 1.0, np.float32)
+        depth[:, 40:] = 2.0
+        boundary = boundary_mask_np(depth, intr, 0.3)
+        corr_depth = jnp.where(jnp.asarray(boundary), 0.0, depth)
+        # a point projecting exactly onto the discontinuity column
+        pts = jnp.asarray([[(39.5 - 32.0) / 100.0, 0.0, 1.0],
+                           [(10.0 - 32.0) / 100.0, 0.0, 1.0]], jnp.float32)
+        valid = jnp.ones(2, bool)
+        _, ok_plain = projective_correspondences(
+            pts, valid, jnp.asarray(depth), intr, max_depth_diff=2.0)
+        _, ok_masked = projective_correspondences(
+            pts, valid, corr_depth, intr, max_depth_diff=2.0)
+        assert bool(ok_plain[0]) and bool(ok_plain[1])
+        assert not bool(ok_masked[0])  # boundary point excluded
+        assert bool(ok_masked[1])  # interior point survives
