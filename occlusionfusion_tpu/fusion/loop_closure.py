@@ -1,0 +1,100 @@
+"""Keyframe loop-closure measurement: rigid projective ICP.
+
+North-star subsystem (no reference counterpart — the reference tracks
+every frame against one canonical model and accumulates drift,
+SURVEY §5 "failure detection/recovery"): keyframes store their depth
+observation; a loop closure re-registers the *current* deformed model
+against an earlier keyframe's depth with a few rigid
+projective-association + weighted-Kabsch rounds. The resulting SE(3)
+is an estimate-independent measurement tying the two keyframe poses,
+consumed by fusion/pose_graph.py.
+
+The whole ICP runs as ONE jitted lax.scan (static iteration count, no
+per-iteration host round trips — through the axon relay a host loop
+would cost ~45 ms/iter in dispatch alone).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from occlusionfusion_tpu.fusion.correspondence import projective_correspondences
+from occlusionfusion_tpu.geometry.kabsch import weighted_kabsch
+
+
+class RigidAlignment(NamedTuple):
+    rotation: jnp.ndarray  # [3, 3]
+    translation: jnp.ndarray  # [3]
+    inlier_fraction: jnp.ndarray  # scalar: valid matches / valid points
+    residual: jnp.ndarray  # scalar: median |aligned - target| over inliers
+    initial_residual: jnp.ndarray  # scalar: same at identity pose — the
+    # "was anything off?" gate (symmetric shapes have rotation null
+    # spaces; only correct when the model is measurably off the surface)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "max_depth_diff"))
+def rigid_depth_alignment(
+    points: jnp.ndarray,  # [P, 3] current model points (camera frame)
+    point_valid: jnp.ndarray,  # [P]
+    depth_im: jnp.ndarray,  # [H, W] the stored keyframe observation
+    intr,
+    iters: int = 5,
+    max_depth_diff: float = 0.1,
+) -> RigidAlignment:
+    """Estimate the rigid (R, t) mapping ``points`` onto the surface
+    observed in ``depth_im``: iterate projective association and
+    weighted Kabsch over the valid matches."""
+
+    # SE(3) accumulation must stay in f32 on TPU (default matmul is
+    # bf16; a composed R drifts off SO(3) within a few iterations)
+    mm = functools.partial(jnp.einsum, precision="highest")
+
+    def masked_median(x, mask):
+        big = jnp.where(mask, x, jnp.inf)
+        srt = jnp.sort(big)
+        idx = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) // 2, 0)
+        med = srt[idx]
+        return jnp.where(jnp.isfinite(med), med, 0.0)
+
+    def step(carry, _):
+        R, t = carry
+        cur = mm("pj,ij->pi", points, R) + t
+        targets, ok = projective_correspondences(
+            cur, point_valid, depth_im, intr, max_depth_diff=max_depth_diff
+        )
+        # Cauchy reweighting: silhouette-adjacent pixels have steep
+        # depth gradients (cm-scale target noise) and would otherwise
+        # dominate the point-to-point Kabsch
+        dist = jnp.linalg.norm(cur - targets, axis=-1)
+        s = jnp.maximum(masked_median(dist, ok), 1e-6)
+        w = ok.astype(jnp.float32) / (1.0 + jnp.square(dist / (3.0 * s)))
+        dR, dt = weighted_kabsch(cur, targets, weights=w)
+        R = mm("ij,jk->ik", dR, R)
+        t = mm("ij,j->i", dR, t) + dt
+        return (R, t), None
+
+    def median_residual(pts):
+        targets, ok = projective_correspondences(
+            pts, point_valid, depth_im, intr, max_depth_diff=max_depth_diff
+        )
+        err = masked_median(jnp.linalg.norm(pts - targets, axis=-1), ok)
+        frac = jnp.sum(ok.astype(jnp.float32)) / jnp.maximum(
+            jnp.sum(point_valid.astype(jnp.float32)), 1.0
+        )
+        return err, frac
+
+    r0, _ = median_residual(points)
+    (R, t), _ = jax.lax.scan(
+        step, (jnp.eye(3, dtype=points.dtype), jnp.zeros(3, points.dtype)),
+        None, length=iters,
+    )
+    final = mm("pj,ij->pi", points, R) + t
+    err, frac = median_residual(final)
+    return RigidAlignment(
+        rotation=R, translation=t, inlier_fraction=frac, residual=err,
+        initial_residual=r0,
+    )

@@ -75,6 +75,31 @@ class FusionConfig:
     # flow-lifted per-pixel 3D targets override projective association for
     # model points whose flowed sample is valid (run_model.py:115-217)
     use_flow: bool = False
+    # keyframe pose graph for long-sequence drift correction (north-star
+    # subsystem, no reference counterpart): record a keyframe every N
+    # frames (0 = off); loop closures re-register the current model
+    # against earlier keyframes' stored depth within loop_radius
+    keyframe_interval: int = 0
+    max_keyframes: int = 64
+    loop_radius: float = 0.3
+    loop_align_iters: int = 5
+    loop_min_inliers: float = 0.3
+    # loop-closure gating: only keyframes at least this many keyframes
+    # apart are candidates (temporally-adjacent "loops" just re-measure
+    # odometry), and the rigid alignment must leave a residual below
+    # this (a true revisit aligns tightly; non-rigid shape change does
+    # not — rejecting it keeps deformation from masquerading as drift)
+    loop_min_separation: int = 5
+    loop_max_residual: float = 0.01
+    # re-localize (rigidly re-anchor the warp onto the current
+    # observation) only as last-resort recovery: the model must be badly
+    # off the surface (median residual above this) AND the rigid fix
+    # must halve the residual — ordinary non-rigid tracking error is the
+    # solver's job, not a rigid yank's
+    relocalize_threshold: float = 0.02
+    # skip re-anchoring when the pose-graph correction is below this
+    # (rotation angle rad + translation m)
+    min_correction: float = 1e-4
 
 
 class DynamicFusion:
@@ -162,6 +187,9 @@ class DynamicFusion:
         self.prev_frame = frame
         if self.motion_runner is not None:
             self.motion_runner.reset()
+        self.keyframes = []
+        if cfg.keyframe_interval:
+            self._record_keyframe(frame)
 
     def _extract_mesh_host(self):
         tsdf_np = np.asarray(self.tsdf.tsdf)
@@ -428,7 +456,229 @@ class DynamicFusion:
             and frame.index % cfg.growth_interval == 0
         ):
             info["n_new_nodes"] = self._grow(frame)
+
+        # 8. optional keyframe bookkeeping: observation-grounded
+        # re-localization + pose-graph trajectory maintenance
+        if (
+            cfg.keyframe_interval
+            and frame.index % cfg.keyframe_interval == 0
+        ):
+            self._record_keyframe(frame)
+            info["pose_correction"] = self._relocalize(self.keyframes[-1])
+            info["loop_closures"] = self._pose_graph_update()
         return info
+
+    # ------------------------------------------------------------------
+    # keyframe pose graph (fusion/pose_graph.py + fusion/loop_closure.py)
+
+    def _record_keyframe(self, frame: Frame):
+        """Estimate the model's global rigid pose (Kabsch canonical ->
+        deformed over valid nodes) and store it with the observation:
+        the depth image plus a padded subsample of its backprojected
+        points (the loop-closure source — measurements must come from
+        observations, not from the possibly-drifted model state)."""
+        from occlusionfusion_tpu.geometry.kabsch import weighted_kabsch
+
+        w = self.node_valid.astype(jnp.float32)
+        R, t = weighted_kabsch(
+            self.warp.node_positions, self.warp.deformed_nodes, weights=w
+        )
+        depth = np.asarray(frame.depth)
+        v, u = np.nonzero(depth > 0)
+        d = depth[v, u]
+        fx, fy = float(self.intr.fx), float(self.intr.fy)
+        cx, cy = float(self.intr.cx), float(self.intr.cy)
+        obs = np.stack(
+            [(u - cx) / fx * d, (v - cy) / fy * d, d], axis=-1
+        ).astype(np.float32)
+        cap = self.config.max_points
+        sel = np.random.RandomState(frame.index).permutation(len(obs))[:cap]
+        pts = np.zeros((cap, 3), np.float32)
+        pts[: len(sel)] = obs[sel]
+        pvalid = np.zeros(cap, bool)
+        pvalid[: len(sel)] = True
+        self.keyframes.append(
+            {
+                "frame": frame.index,
+                "R": np.asarray(R),
+                "t": np.asarray(t),
+                "depth": depth,
+                "points": pts,
+                "pvalid": pvalid,
+            }
+        )
+        if len(self.keyframes) > self.config.max_keyframes:
+            self.keyframes = self.keyframes[-self.config.max_keyframes :]
+
+    def _pose_graph_update(self) -> int:
+        """Find loop closures for the newest keyframe and optimize the
+        keyframe trajectory (exported via trajectory()). Returns the
+        number of accepted loop closures."""
+        from occlusionfusion_tpu.fusion.loop_closure import (
+            rigid_depth_alignment,
+        )
+        from occlusionfusion_tpu.fusion.pose_graph import (
+            PoseGraph,
+            optimize_pose_graph,
+        )
+
+        cfg = self.config
+        k = len(self.keyframes) - 1
+        if k < 2:
+            return 0
+        kf = self.keyframes[k]
+        obs_k = jnp.asarray(kf["points"])
+        obs_k_valid = jnp.asarray(kf["pvalid"])
+        loops = []
+        for i in range(k - max(cfg.loop_min_separation, 2) + 1):
+            kf_i = self.keyframes[i]
+            if np.linalg.norm(kf_i["t"] - kf["t"]) > cfg.loop_radius:
+                continue
+            # estimate-free measurement: register keyframe k's OBSERVED
+            # surface against keyframe i's observation.
+            # T_align maps surface_k onto surface_i  =>  T_i * T_k^-1
+            align = rigid_depth_alignment(
+                obs_k,
+                obs_k_valid,
+                jnp.asarray(kf_i["depth"]),
+                self.intr,
+                iters=cfg.loop_align_iters,
+                max_depth_diff=cfg.max_depth_diff,
+            )
+            if (
+                float(align.inlier_fraction) < cfg.loop_min_inliers
+                or float(align.residual) > cfg.loop_max_residual
+            ):
+                continue
+            loops.append(
+                (
+                    i,
+                    np.asarray(align.rotation),
+                    np.asarray(align.translation),
+                    float(align.inlier_fraction),
+                )
+            )
+        if not loops:
+            return 0
+
+        # --- assemble the padded graph
+        K = cfg.max_keyframes
+        E = 2 * cfg.max_keyframes
+        poses_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        poses_t = np.zeros((K, 3), np.float32)
+        pose_valid = np.zeros(K, bool)
+        for a, f in enumerate(self.keyframes):
+            poses_R[a], poses_t[a], pose_valid[a] = f["R"], f["t"], True
+        edge_i = np.zeros(E, np.int32)
+        edge_j = np.zeros(E, np.int32)
+        edge_R = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+        edge_t = np.zeros((E, 3), np.float32)
+        edge_valid = np.zeros(E, bool)
+        edge_w = np.zeros(E, np.float32)
+        e = 0
+
+        def rel(Ra, ta, Rb, tb):
+            """T_a^-1 * T_b."""
+            return Ra.T @ Rb, Ra.T @ (tb - ta)
+
+        for a in range(k):  # odometry backbone (estimate-consistent prior)
+            fa, fb = self.keyframes[a], self.keyframes[a + 1]
+            edge_i[e], edge_j[e] = a, a + 1
+            edge_R[e], edge_t[e] = rel(fa["R"], fa["t"], fb["R"], fb["t"])
+            edge_valid[e], edge_w[e] = True, 1.0
+            e += 1
+        for i, Rm, tm, frac in loops:
+            # T_align = T_i * T_k^-1 (from observations alone), so the
+            # edge measurement T_i^-1 T_k = T_i^-1 T_align^-1 T_i,
+            # conjugated by the stored estimate of T_i
+            Ri, ti = self.keyframes[i]["R"], self.keyframes[i]["t"]
+            Rmi, tmi = Rm.T, -Rm.T @ tm  # T_align^-1
+            Ra = Ri.T @ Rmi @ Ri
+            ta = Ri.T @ (Rmi @ ti + tmi - ti)
+            edge_i[e], edge_j[e] = i, k
+            edge_R[e], edge_t[e] = Ra, ta
+            edge_valid[e], edge_w[e] = True, 2.0 * frac
+            e += 1
+
+        graph = PoseGraph(
+            poses_R=jnp.asarray(poses_R),
+            poses_t=jnp.asarray(poses_t),
+            pose_valid=jnp.asarray(pose_valid),
+            edge_i=jnp.asarray(edge_i),
+            edge_j=jnp.asarray(edge_j),
+            edge_R=jnp.asarray(edge_R),
+            edge_t=jnp.asarray(edge_t),
+            edge_valid=jnp.asarray(edge_valid),
+            edge_weight=jnp.asarray(edge_w),
+        )
+        opt_R, opt_t, _ = optimize_pose_graph(graph)
+        opt_R = np.asarray(opt_R)
+        opt_t = np.asarray(opt_t)
+        # adopt the optimized trajectory (exported via trajectory();
+        # future odometry edges reference the corrected history)
+        for a in range(len(self.keyframes)):
+            self.keyframes[a]["R"] = opt_R[a]
+            self.keyframes[a]["t"] = opt_t[a]
+        return len(loops)
+
+    def _relocalize(self, kf: dict) -> float:
+        """Observation-grounded warp re-anchoring: align the current
+        deformed model against the CURRENT keyframe observation. When
+        tracking is healthy this is ~identity (the per-frame solver keeps
+        the model on the observation and non-rigid motion is modeled by
+        the warp itself); a rigid residual means the solver has drifted
+        off the surface, and left-composing it pulls the model back.
+        Rigid trajectory bookkeeping is the pose graph's job; warp
+        corrections must come from the current observation only —
+        keyframe-relative rigid summaries conflate non-rigid deformation
+        with drift (a lesson encoded in the non-rigid CLI check)."""
+        from occlusionfusion_tpu.fusion.loop_closure import (
+            rigid_depth_alignment,
+        )
+
+        cfg = self.config
+        deformed_pts = W.deform_points(
+            self.warp, self.model_points, self.point_table
+        )
+        pvalid = self.model_valid & self.point_table.valid
+        align = rigid_depth_alignment(
+            deformed_pts,
+            pvalid,
+            jnp.asarray(kf["depth"]),
+            self.intr,
+            iters=cfg.loop_align_iters,
+            max_depth_diff=cfg.max_depth_diff,
+        )
+        if (
+            float(align.inlier_fraction) < cfg.loop_min_inliers
+            or float(align.initial_residual) < cfg.relocalize_threshold
+            or float(align.residual) >= 0.5 * float(align.initial_residual)
+        ):
+            return 0.0
+        dR = np.asarray(align.rotation)
+        dt = np.asarray(align.translation)
+        angle = float(
+            np.arccos(np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))
+        )
+        magnitude = angle + float(np.linalg.norm(dt))
+        if magnitude < cfg.min_correction:
+            return magnitude
+        self.warp = W.left_compose_rigid(
+            self.warp, jnp.asarray(dR), jnp.asarray(dt)
+        )
+        self.prev_R = self.warp.rotations
+        self.prev_t = self.warp.translations
+        return magnitude
+
+    def trajectory(self):
+        """Optimized keyframe trajectory: (frame_ids [K], R [K, 3, 3],
+        t [K, 3]) — the ATE/export artifact."""
+        if not getattr(self, "keyframes", None):
+            return np.zeros(0, np.int32), np.zeros((0, 3, 3)), np.zeros((0, 3))
+        ids = np.asarray([f["frame"] for f in self.keyframes], np.int32)
+        R = np.stack([f["R"] for f in self.keyframes])
+        t = np.stack([f["t"] for f in self.keyframes])
+        return ids, R, t
 
     def _grow(self, frame: Frame) -> int:
         """Extend the graph onto surface not covered by any node

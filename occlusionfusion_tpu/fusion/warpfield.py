@@ -111,6 +111,18 @@ def update_transforms(
     return state._replace(rotations=rotations, translations=translations)
 
 
+def left_compose_rigid(
+    state: WarpFieldState, R: jnp.ndarray, t: jnp.ndarray
+) -> WarpFieldState:
+    """Apply a global rigid (R, t) after the warp (pose-graph
+    re-anchoring). Pivoted form y = R_n(x - g) + g + t_n composes to
+    R_n' = R R_n, t_n' = R (g + t_n) + t - g."""
+    g = state.node_positions
+    new_R = jnp.einsum("ij,njk->nik", R, state.rotations, precision="highest")
+    new_t = (g + state.translations) @ R.T + t - g
+    return state._replace(rotations=new_R, translations=new_t)
+
+
 def to_origin_form(state: WarpFieldState):
     """Pivoted (R, t) -> origin-relative t' = -R g + g + t
     (``warpfield.py:438-449``)."""

@@ -44,7 +44,11 @@ def weighted_kabsch(
     U, _, Vt = jnp.linalg.svd(H)
     # R maps src -> dst: R = V diag(1,1,d) U^T with d = det(V U^T)
     V = jnp.swapaxes(Vt, -1, -2)
-    d = jnp.linalg.det(V @ jnp.swapaxes(U, -1, -2))
+    d = jnp.linalg.det(
+        jnp.einsum(
+            "...ij,...kj->...ik", V, U, precision="highest"
+        )
+    )
     D = jnp.zeros_like(H) + jnp.eye(3, dtype=src.dtype)
     D = D.at[..., 2, 2].set(d)
     R = jnp.einsum(

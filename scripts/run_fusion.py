@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--growth_interval", type=int, default=0)
     ap.add_argument("--no_motion_model", action="store_true")
     ap.add_argument("--export_mesh_every", type=int, default=0)
+    ap.add_argument("--keyframe_interval", type=int, default=0,
+                    help="pose-graph keyframe every N frames; 0 = off")
+    ap.add_argument("--loop_radius", type=float, default=0.3,
+                    help="loop-closure search radius between keyframe"
+                         " poses (m)")
     ap.add_argument("--max_depth", type=float, default=0.0,
                     help="zero depth beyond this cutoff (m); 0 = off")
     ap.add_argument("--depth_filter_size", type=int, default=0,
@@ -77,6 +82,8 @@ def main():
         nicp=NICPConfig(iters=args.nicp_iters),
         use_motion_model=motion_params is not None,
         growth_interval=args.growth_interval,
+        keyframe_interval=args.keyframe_interval,
+        loop_radius=args.loop_radius,
     )
     seq = RGBDSequence(
         args.datadir,
@@ -113,6 +120,10 @@ def main():
 
     with open(os.path.join(args.results, "convergence.json"), "w") as fh:
         json.dump(infos, fh, indent=1)
+    if args.keyframe_interval:
+        ids, R, t = fusion.trajectory()
+        np.savez(os.path.join(args.results, "trajectory.npz"),
+                 frame_ids=ids, rotations=R, translations=t)
     verts, faces = fusion.get_deformed_mesh()
     save_ply(os.path.join(args.results, "final_mesh.ply"), verts, faces)
     print(f"done; results in {args.results}")
