@@ -90,15 +90,28 @@ def bench_fusion():
     fusion.initialize(seq.load(0))
     sc, state, tables = fusion.build_fused()
     state, info = fusion.register_frame_fused(sc, state, tables, seq.load(1))
-    jax.block_until_ready(info)  # completion only; no readback (CLAUDE.md)
-    n = 20
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, info = fusion.register_frame_fused(
-            sc, state, tables, seq.load(i % 23 + 1)
-        )
-    jax.block_until_ready(state.tsdf.tsdf)
-    fps = n / (time.perf_counter() - t0)
+    # warmup: compile + pay the relay's one-time first-fetch penalty
+    float(info[0])
+
+    # IMPORTANT (measured): through the axon relay block_until_ready does
+    # NOT wait for device execution (a 8192^3 matmul "completes" in
+    # 0.15 ms = 7400 TFLOP/s on a 197-TFLOP chip). Honest timing forces a
+    # scalar readback and uses the slope between two chain lengths, which
+    # cancels both the dispatch pipelining and the d2h fetch latency.
+    def run_frames(k):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(k):
+            state, info = fusion.register_frame_fused(
+                sc, state, tables, seq.load(i % 23 + 1)
+            )
+        float(info[0])  # forces execution of the whole chain
+        return time.perf_counter() - t0
+
+    n1, n2 = 5, 25
+    t1 = run_frames(n1)
+    t2 = run_frames(n2)
+    fps = (n2 - n1) / max(t2 - t1, 1e-9)
     print(
         json.dumps(
             {
@@ -173,11 +186,12 @@ def main():
     ]
     note(f"{len(packed)} frames packed; chunk {chunk}")
 
-    # NOTE: timing deliberately avoids device->host readback: the relay's
-    # FIRST d2h fetch per process costs minutes (see CLAUDE.md), while
-    # block_until_ready only waits for completion. Output correctness is
-    # covered by the golden/parity tests; this measures compute + upload
-    # throughput, which is what overlapped-readback production achieves.
+    # IMPORTANT (measured): through the axon relay block_until_ready does
+    # NOT wait for device execution — it only tracks enqueue. Honest
+    # timing must force a scalar readback; using the slope between two
+    # chain lengths cancels both dispatch pipelining and the (varying)
+    # d2h fetch latency. The relay's FIRST fetch per process costs
+    # seconds-to-minutes, so the warmup pays it before any timing.
     state = init_state()
     n = (len(packed) // chunk) * chunk
 
@@ -188,16 +202,26 @@ def main():
         return state, outs
 
     state, outs = run_chunk_device(state, 0)  # compile warmup
-    jax.block_until_ready(outs)
-    note("warmup done; timing")
-
-    state = init_state()
     t0 = time.perf_counter()
-    for lo in range(0, n, chunk):
-        state, outs = run_chunk_device(state, lo)
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    fps = n / dt
+    float(outs[0, 0, 0])  # one-time first-fetch penalty, paid here
+    note(f"warmup done (first fetch {time.perf_counter() - t0:.1f}s); timing")
+
+    def run_frames(k_chunks, lo0):
+        nonlocal state
+        t0 = time.perf_counter()
+        outs = None
+        for c in range(k_chunks):
+            state, outs = run_chunk_device(state, (lo0 + c * chunk) % n)
+        float(outs[0, 0, 0])  # forces execution of the whole chain
+        return time.perf_counter() - t0
+
+    k_total = n // chunk
+    k1 = max(k_total // 4, 1)
+    k2 = k_total
+    t1 = run_frames(k1, 0)
+    state = init_state()
+    t2 = run_frames(k2, 0)
+    fps = (k2 - k1) * chunk / max(t2 - t1, 1e-9)
 
     print(
         json.dumps(
