@@ -77,13 +77,22 @@ def bench_fusion():
     from occlusionfusion_tpu.graph.edgraph import GraphConfig
     from occlusionfusion_tpu.solvers.nicp import NICPConfig
 
+    from occlusionfusion_tpu.solvers.gauss_newton import GNConfig
+
+    gn = GNConfig(
+        iters=int(os.environ.get("BENCH_GN_ITERS", "6")),
+        w_point=1.0, w_arap=2.0, w_motion=0.0,
+        linear_solver=os.environ.get("BENCH_LINSOLVE", "cholesky"),
+    )
     cfg = FusionConfig(
         vol_dim=(64, 64, 64), voxel_size=0.008, node_coverage=0.03,
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", "128")),
         max_points=4096, max_depth_diff=0.05,
         graph=GraphConfig(node_coverage=0.03, min_neighbors=2),
         nicp=NICPConfig(iters=100, w_motion=0.0, lr=0.02),
-        use_motion_model=False, solver="gn_dense",
+        use_motion_model=False,
+        solver=os.environ.get("BENCH_SOLVER", "gn_dense"),
+        gn=gn,
     )
     seq, _ = make_sequence(n_frames=24)
     fusion = DynamicFusion(seq, cfg)
@@ -112,6 +121,37 @@ def bench_fusion():
     t1 = run_frames(n1)
     t2 = run_frames(n2)
     fps = (n2 - n1) / max(t2 - t1, 1e-9)
+
+    if os.environ.get("BENCH_MODE") == "fusion_chunked":
+        # one dispatch per K frames (lax.scan) — the production shape:
+        # amortizes the relay's per-dispatch overhead K-fold
+        from occlusionfusion_tpu.fusion.fused_step import (
+            fused_register_chunk,
+        )
+
+        K = int(os.environ.get("BENCH_CHUNK", "16"))
+        depths = jnp.stack(
+            [jnp.asarray(seq.load(i % 23 + 1).depth) for i in range(K)]
+        )
+        colors = jnp.stack(
+            [jnp.asarray(seq.load(i % 23 + 1).color) for i in range(K)]
+        )
+
+        def run_chunks(k):
+            nonlocal state
+            t0 = time.perf_counter()
+            infos = None
+            for _ in range(k):
+                state, infos = fused_register_chunk(
+                    sc, state, tables, None, depths, colors, fusion.intr
+                )
+            float(infos[0, 0])
+            return time.perf_counter() - t0
+
+        run_chunks(1)  # compile
+        c1 = min(run_chunks(2) for _ in range(3))
+        c2 = min(run_chunks(8) for _ in range(3))
+        fps = 6 * K / max(c2 - c1, 1e-9)
     print(
         json.dumps(
             {
@@ -125,7 +165,7 @@ def bench_fusion():
 
 
 def main():
-    if os.environ.get("BENCH_MODE") == "fusion":
+    if os.environ.get("BENCH_MODE") in ("fusion", "fusion_chunked"):
         bench_fusion()
         return
     from occlusionfusion_tpu.fusion.motion_runner import MotionCompletionRunner

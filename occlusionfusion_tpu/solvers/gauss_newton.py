@@ -45,6 +45,12 @@ class GNConfig(NamedTuple):
     # block-Jacobi preconditioning (6x6 diagonal blocks of JtJ): cuts CG
     # iterations ~3-5x for a cheap O(P K) block build
     precondition: bool = False
+    # linear solver for the dense path (gauss_newton_dense.solve_dense):
+    # "cholesky" — exact; sequential panels, latency-bound on TPU
+    # "cg" — block-Jacobi-preconditioned CG on the assembled dense
+    #         matrix; each iteration is one MXU matvec (dense_cg_iters)
+    linear_solver: str = "cholesky"
+    dense_cg_iters: int = 24
 
 
 class GNProblem(NamedTuple):

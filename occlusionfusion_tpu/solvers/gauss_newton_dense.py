@@ -47,7 +47,15 @@ def _scatter_blocks(A, idx_i, idx_j, blocks, n):
 
 
 def _assemble(problem: GNProblem, config: GNConfig, R, t):
-    """Build (A [6N, 6N], b [6N], sq_residual) at the current estimate."""
+    """Build (A [N, N, 6, 6], b [N, 6], sq_residual) at the current
+    estimate.
+
+    MXU formulation: the sparse per-residual jacobian blocks are
+    scattered into a DENSE row-major jacobian with one-hot anchor
+    matmuls (iota compare -> einsum), and A = J^T J / b = J^T r are
+    single large matmuls. This replaces the previous 7 segment-sums
+    over n^2 segments per GN iteration (gather/scatter lowering was the
+    dominant solver cost on TPU below the 256-node cap)."""
     n = problem.nodes.shape[0]
     P, K = problem.point_anchors.shape
 
@@ -73,16 +81,17 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
     )
     J = sw * jnp.concatenate([Jw, Jt], axis=-1)  # [P, K, 3, 6]
 
-    blocks = jnp.einsum("pkai,plaj->pklij", J, J, precision="highest")
-    A = jnp.zeros((n, n, 6, 6))
-    ai = jnp.broadcast_to(problem.point_anchors[:, :, None], (P, K, K))
-    aj = jnp.broadcast_to(problem.point_anchors[:, None, :], (P, K, K))
-    A = _scatter_blocks(A, ai, aj, blocks, n)
-    b_blocks = jnp.einsum("pkai,pa->pki", J, r_pt, precision="highest")
-    b = jax.ops.segment_sum(
-        b_blocks.reshape(-1, 6),
-        problem.point_anchors.reshape(-1),
-        num_segments=n,
+    # dense jacobian rows via one-hot anchors: [P, 3, N, 6] -> [3P, 6N]
+    iota = jnp.arange(n, dtype=problem.point_anchors.dtype)
+    onehot = (
+        problem.point_anchors[:, :, None] == iota[None, None]
+    ).astype(jnp.float32)  # [P, K, N]
+    J_pt = jnp.einsum(
+        "pkac,pkn->panc", J, onehot, precision="highest"
+    ).reshape(3 * P, 6 * n)
+    A = jnp.einsum("ra,rb->ab", J_pt, J_pt, precision="highest")
+    b = jnp.einsum(
+        "ra,r->a", J_pt, r_pt.reshape(-1), precision="highest"
     )
     sq = jnp.sum(r_pt * r_pt)
 
@@ -115,39 +124,24 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
         ],
         axis=-1,
     ) * wa[..., None, None]
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, E_k))
-    # (i, i), (i, j), (j, i), (j, j) blocks
-    A = _scatter_blocks(
-        A, rows, rows,
-        jnp.einsum("neai,neaj->neij", Ji, Ji, precision="highest"), n,
+    onehot_i = jnp.broadcast_to(
+        jnp.eye(n, dtype=jnp.float32)[:, None], (n, E_k, n)
     )
-    A = _scatter_blocks(
-        A, rows, e,
-        jnp.einsum("neai,neaj->neij", Ji, Jj, precision="highest"), n,
-    )
-    A = _scatter_blocks(
-        A, e, rows,
-        jnp.einsum("neai,neaj->neij", Jj, Ji, precision="highest"), n,
-    )
-    A = _scatter_blocks(
-        A, e, e,
-        jnp.einsum("neai,neaj->neij", Jj, Jj, precision="highest"), n,
-    )
-    b = b + jax.ops.segment_sum(
-        jnp.einsum("neai,nea->nei", Ji, r_arap, precision="highest").reshape(
-            -1, 6
-        ),
-        rows.reshape(-1),
-        num_segments=n,
-    )
-    b = b + jax.ops.segment_sum(
-        jnp.einsum("neai,nea->nei", Jj, r_arap, precision="highest").reshape(
-            -1, 6
-        ),
-        e.reshape(-1),
-        num_segments=n,
+    onehot_j = (e[:, :, None] == iota[None, None]).astype(jnp.float32)
+    # rows stay per-EDGE, not per-node — J^T J of summed per-node rows
+    # would add spurious cross-edge terms. Shape [N*Ke*3, 6N].
+    J_arap = (
+        jnp.einsum("neac,nem->neamc", Ji, onehot_i, precision="highest")
+        + jnp.einsum("neac,nem->neamc", Jj, onehot_j, precision="highest")
+    ).reshape(n * E_k * 3, 6 * n)
+    A = A + jnp.einsum("ra,rb->ab", J_arap, J_arap, precision="highest")
+    b = b + jnp.einsum(
+        "ra,r->a", J_arap, r_arap.reshape(-1), precision="highest"
     )
     sq = sq + jnp.sum(r_arap * r_arap)
+
+    A = A.reshape(n, 6, n, 6).transpose(0, 2, 1, 3)  # -> [N, N, 6, 6]
+    b = b.reshape(n, 6)
 
     # ---- motion prior (diagonal translation blocks)
     if config.w_motion:
@@ -259,8 +253,50 @@ def solve_dense(
             jnp.where(free6 > 0, config.lm_damping, 1.0)
         )
         rhs = -b.reshape(-1) * free6
-        chol, low = jax.scipy.linalg.cho_factor(M)
-        x = jax.scipy.linalg.cho_solve((chol, low), rhs)
+        if config.linear_solver == "cg":
+            # block-Jacobi PCG on the assembled dense system: each
+            # iteration is one [6N,6N] MXU matvec — avoids Cholesky's
+            # sequential panel chain (latency-bound on TPU; measured
+            # 22 ms per 6-iteration solve at the 128 cap)
+            diag = A[jnp.arange(n), jnp.arange(n)]  # [n, 6, 6]
+            diag = diag * free[:, None, None] + jnp.eye(6) * jnp.where(
+                free > 0, config.lm_damping, 1.0
+            )[:, None, None]
+            inv_diag = jnp.linalg.inv(diag)  # batched 6x6
+
+            def prec(v):
+                return jnp.einsum(
+                    "nij,nj->ni", inv_diag, v.reshape(n, 6),
+                    precision="highest",
+                ).reshape(-1) * free6
+
+            def matvec(v):
+                return jnp.einsum(
+                    "ij,j->i", M, v, precision="highest"
+                ) * free6
+
+            z0 = prec(rhs)
+
+            def cg_iter(state, _):
+                xk, r, p, rz = state
+                Ap = matvec(p)
+                alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-20)
+                xk = xk + alpha * p
+                r = r - alpha * Ap
+                z = prec(r)
+                rz2 = jnp.vdot(r, z)
+                p = z + (rz2 / jnp.maximum(rz, 1e-20)) * p
+                return (xk, r, p, rz2), None
+
+            (x, _, _, _), _ = jax.lax.scan(
+                cg_iter,
+                (jnp.zeros_like(rhs), rhs, z0, jnp.vdot(rhs, z0)),
+                None,
+                length=config.dense_cg_iters,
+            )
+        else:
+            chol, low = jax.scipy.linalg.cho_factor(M)
+            x = jax.scipy.linalg.cho_solve((chol, low), rhs)
         x = x.reshape(n, 6)
         dw = x[:, :3] * config.step_length
         dt = x[:, 3:] * config.step_length

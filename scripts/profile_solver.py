@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Fresh-process solver cost measurement.
+"""Fresh-process solver cost measurement (slope + readback).
 
-The axon relay's per-dispatch overhead grows within a process (measured:
-the same jitted LBS kernel goes 0.04 ms -> 29.5 ms between the first and
-second benchmark blocks of a run), so each solver/cap measurement must be
-the FIRST timed thing in its own process:
+Two relay gotchas (CLAUDE.md): block_until_ready tracks enqueue, not
+execution — timing must force a scalar readback; and per-dispatch
+overhead grows within a process — measure each solver/cap FIRST in its
+own process. The reported number is the slope between two chain
+lengths, which cancels dispatch pipelining and d2h fetch latency.
 
   PROF_SOLVER=gn_dense PROF_CAP=512 PROF_ITERS=6 python scripts/profile_solver.py
   PROF_SOLVER=pcg PROF_CAP=512 python scripts/profile_solver.py
@@ -58,21 +59,39 @@ def main():
     )
     if SOLVER == "gn_dense":
         cfg = GNConfig(iters=ITERS, w_point=1.0, w_arap=2.0, w_motion=1.0)
-        fn = lambda p: solve_dense(p, cfg).translations
+        fn = lambda p: solve_dense(p, cfg)
+    elif SOLVER == "gn_dense_cg":
+        cfg = GNConfig(iters=ITERS, w_point=1.0, w_arap=2.0, w_motion=1.0,
+                       linear_solver="cg")
+        fn = lambda p: solve_dense(p, cfg)
     else:
         cfg = GNConfig(iters=ITERS, cg_iters=16, w_point=1.0, w_arap=2.0,
                        w_motion=1.0, precondition=True)
-        fn = lambda p: solve(p, cfg).translations
+        fn = lambda p: solve(p, cfg)
 
     out = fn(prob)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = fn(prob)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / REPS
-    print(f"[profile] {SOLVER} cap={CAP} iters={ITERS}: {dt*1e3:.3f} ms",
-          flush=True)
+    float(out.translations[0, 0])  # compile + first-fetch penalty
+
+    def chain(k):
+        # chain the solves (each input depends on the previous output) so
+        # the executions cannot be elided or reordered by the relay
+        p = prob
+        t0 = time.perf_counter()
+        r = out
+        for _ in range(k):
+            p = p._replace(
+                motion_targets=p.motion_targets + r.translations * 0.0
+            )
+            r = fn(p)
+        float(r.translations[0, 0])
+        return time.perf_counter() - t0
+
+    k1, k2 = max(REPS // 4, 1), REPS
+    t1 = min(chain(k1) for _ in range(3))
+    t2 = min(chain(k2) for _ in range(3))
+    dt = (t2 - t1) / (k2 - k1)
+    print(f"[profile] {SOLVER} cap={CAP} iters={ITERS}: {dt*1e3:.3f} ms "
+          f"(slope over {k1}->{k2} chained solves, min of 3)", flush=True)
 
 
 if __name__ == "__main__":

@@ -61,3 +61,24 @@ class TestDenseGN:
         res = solve_dense(problem, GNConfig(iters=5, lm_damping=1e-6))
         hist = np.asarray(res.residual_history)
         assert hist[-1] < hist[0] * 1e-4
+
+    def test_cg_linear_solver_matches_cholesky(self):
+        problem, target, _ = build_problem()
+        res_chol = solve_dense(problem, GNConfig(iters=6))
+        res_cg = solve_dense(
+            problem,
+            GNConfig(iters=6, linear_solver="cg", dense_cg_iters=48),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_cg.translations),
+            np.asarray(res_chol.translations),
+            atol=2e-4,
+        )
+        err = jnp.linalg.norm(res_cg.warped_points - target, axis=1)
+        assert float(jnp.mean(err)) < 1e-3
+
+    def test_cg_default_iters_converges(self):
+        problem, target, _ = build_problem()
+        res = solve_dense(problem, GNConfig(iters=6, linear_solver="cg"))
+        err = jnp.linalg.norm(res.warped_points - target, axis=1)
+        assert float(jnp.mean(err)) < 1.5e-3
