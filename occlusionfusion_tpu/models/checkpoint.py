@@ -82,3 +82,73 @@ def load_motion_complete_params(
     raise FileNotFoundError(
         "no motion-completion weights found; run scripts/convert_checkpoint.py"
     )
+
+
+# ---------------------------------------------------------------------------
+# Lepard-style matcher checkpoints: params npz + config json side-car
+
+
+def _namedtuple_to_dict(nt):
+    d = {}
+    for k, v in nt._asdict().items():
+        if hasattr(v, "_asdict"):
+            d[k] = _namedtuple_to_dict(v)
+        elif isinstance(v, (tuple, list)):
+            d[k] = list(v)
+        else:
+            d[k] = v
+    return d
+
+
+def save_lepard_checkpoint(npz_path: str, params, config) -> None:
+    """Save matcher weights (npz) + the LepardConfig needed to rebuild
+    the static pyramid/transformer shapes (json side-car)."""
+    import json
+
+    from occlusionfusion_tpu.utils.snapshot import save_pytree
+
+    save_pytree(npz_path, params)
+    with open(npz_path + ".json", "w") as fh:
+        json.dump(_namedtuple_to_dict(config), fh, indent=1)
+
+
+def load_lepard_checkpoint(npz_path: str):
+    """Returns (params, LepardConfig) from save_lepard_checkpoint files."""
+    import json
+
+    from occlusionfusion_tpu.models import kpconv as K
+    from occlusionfusion_tpu.models.lepard import LepardConfig
+    from occlusionfusion_tpu.models.transformer3d import RepositionConfig
+    from occlusionfusion_tpu.utils.snapshot import load_params as _load
+
+    params = _load(npz_path)
+    with open(npz_path + ".json") as fh:
+        d = json.load(fh)
+    kp = d["kpfcn"]
+    pyr = kp["pyramid"]
+    config = LepardConfig(
+        kpfcn=K.KPFCNConfig(
+            in_dim=kp["in_dim"],
+            first_dim=kp["first_dim"],
+            out_dim=kp["out_dim"],
+            num_kernel_points=kp["num_kernel_points"],
+            blocks_per_stage=kp["blocks_per_stage"],
+            pyramid=K.PyramidConfig(
+                level_sizes=tuple(pyr["level_sizes"]),
+                first_voxel=pyr["first_voxel"],
+                radius_scale=pyr["radius_scale"],
+                max_neighbors=tuple(pyr["max_neighbors"]),
+            ),
+        ),
+        reposition=RepositionConfig(
+            dim=d["reposition"]["dim"],
+            heads=d["reposition"]["heads"],
+            layer_types=tuple(d["reposition"]["layer_types"]),
+            rope_voxel=d["reposition"]["rope_voxel"],
+            temperature=d["reposition"]["temperature"],
+        ),
+        match_threshold=d["match_threshold"],
+        blend_knn=d["blend_knn"],
+        blend_radius=d["blend_radius"],
+    )
+    return params, config

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--growth_interval", type=int, default=0)
     ap.add_argument("--no_motion_model", action="store_true")
     ap.add_argument("--export_mesh_every", type=int, default=0)
+    ap.add_argument("--lepard_weights", default=None,
+                    help="matcher checkpoint (train_lepard.py output); "
+                         "enables learned scene flow in the loop")
     ap.add_argument("--keyframe_interval", type=int, default=0,
                     help="pose-graph keyframe every N frames; 0 = off")
     ap.add_argument("--loop_radius", type=float, default=0.3,
@@ -72,6 +75,16 @@ def main():
         except FileNotFoundError:
             print("no motion-completion weights; running without")
 
+    lepard_params = lepard_config = None
+    if args.lepard_weights:
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_lepard_checkpoint,
+        )
+
+        lepard_params, lepard_config = load_lepard_checkpoint(
+            args.lepard_weights
+        )
+
     config = FusionConfig(
         vol_dim=(args.voxel_dim,) * 3,
         voxel_size=args.voxel_size,
@@ -84,6 +97,7 @@ def main():
         growth_interval=args.growth_interval,
         keyframe_interval=args.keyframe_interval,
         loop_radius=args.loop_radius,
+        use_lepard=lepard_params is not None,
     )
     seq = RGBDSequence(
         args.datadir,
@@ -91,7 +105,10 @@ def main():
         depth_filter_size=args.depth_filter_size,
         boundary_dist=args.boundary_dist,
     )
-    fusion = DynamicFusion(seq, config, motion_params=motion_params)
+    fusion = DynamicFusion(
+        seq, config, motion_params=motion_params,
+        lepard_params=lepard_params, lepard_config=lepard_config,
+    )
 
     os.makedirs(args.results, exist_ok=True)
     end = args.end_frame or len(seq)

@@ -2,10 +2,20 @@
 """Train the Lepard-style matcher with the focal correspondence loss.
 
 The fork strips the Lepard weights (``.MISSING_LARGE_BLOBS``), so the
-matcher is trained from scratch: on 4DMatch npz pairs when --data points
-at a 4DMatch root, otherwise on synthetic rigid/non-rigid pairs (random
-clouds with known correspondences) — which suffices to verify the whole
-train path end to end and to bootstrap features.
+matcher is trained from scratch. Data sources, in priority order:
+  --data     4DMatch npz root (the reference's training set layout)
+  (default)  synthetic pairs: random clouds under full-SO(3) rigid motion
+             plus a smooth low-frequency non-rigid warp, with noise and
+             partial overlap — the regime the fusion loop actually sees
+             (deformed model vs partially observed target depth PCD).
+
+Training recipe per the round-2 roadmap: rotation augmentation, linear
+warmup + cosine decay, periodic held-out eval (coarse match accuracy +
+inlier ratio) and checkpointing. Loss values are fetched only at log
+points (a per-step device->host fetch costs 40-70 ms through the axon
+relay, CLAUDE.md).
+
+  python scripts/train_lepard.py --steps 2000 --out checkpoints/lepard_trained.npz
 """
 
 import os as _os
@@ -20,32 +30,86 @@ import time
 import numpy as np
 
 
-def synthetic_pair(rng, n=192, cap=256):
-    from occlusionfusion_tpu.geometry import so3_exp
-    import jax.numpy as jnp
+def random_rotation(rng):
+    """Uniform random SO(3) (QR of a gaussian with det fix)."""
+    A = rng.randn(3, 3)
+    Q, R = np.linalg.qr(A)
+    Q = Q * np.sign(np.diag(R))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] = -Q[:, 0]
+    return Q.astype(np.float32)
 
+
+def smooth_warp(rng, pts, amplitude=0.04, n_waves=3):
+    """Low-frequency trigonometric displacement field (smooth non-rigid)."""
+    disp = np.zeros_like(pts)
+    for _ in range(n_waves):
+        k = rng.randn(3).astype(np.float32) * rng.uniform(2.0, 6.0)
+        phase = rng.uniform(0, 2 * np.pi)
+        a = rng.randn(3).astype(np.float32)
+        a *= amplitude / (np.linalg.norm(a) + 1e-9) * rng.rand()
+        disp += np.sin(pts @ k + phase)[:, None] * a
+    return pts + disp.astype(np.float32)
+
+
+def synthetic_pair(rng, n=192, cap=256, nonrigid=True, overlap=0.8,
+                   noise=0.005):
+    """Pair with known correspondences: src -> smooth warp -> rigid ->
+    noise; a random half-space of the target is dropped (partial
+    overlap) and replaced with distractor points."""
     src = rng.randn(n, 3).astype(np.float32) * 0.4
-    R = np.asarray(so3_exp(jnp.asarray(rng.randn(3) * 0.3)))
+    warped = smooth_warp(rng, src) if nonrigid else src
+    R = random_rotation(rng)
     t = rng.randn(3).astype(np.float32) * 0.1
-    tgt = (src @ R.T + t + rng.randn(n, 3) * 0.005).astype(np.float32)
-    perm = rng.permutation(n)
+    tgt = (warped @ R.T + t + rng.randn(n, 3) * noise).astype(np.float32)
+
+    # partial overlap: drop target points on one side of a random plane
+    normal = rng.randn(3).astype(np.float32)
+    normal /= np.linalg.norm(normal)
+    scores = (tgt - tgt.mean(0)) @ normal
+    keep = scores <= np.quantile(scores, overlap)
+    kept_idx = np.nonzero(keep)[0]
+    n_tgt = len(kept_idx)
+    # distractors: points near the kept surface but without a source match
+    n_extra = min(cap - n_tgt, max(n // 8, 1))
+    extra = (tgt[rng.choice(kept_idx, n_extra)] +
+             rng.randn(n_extra, 3).astype(np.float32) * 0.08)
+
     src_p = np.zeros((cap, 3), np.float32)
     src_p[:n] = src
-    tgt_p = np.zeros((cap, 3), np.float32)
-    tgt_p[:n] = tgt[perm.argsort()][perm]  # keep i -> perm correspondence
-    tgt_p[:n] = tgt[perm]
     sm = np.zeros(cap, bool)
     sm[:n] = True
-    corr = np.stack([np.arange(n), perm], -1).astype(np.int32)
-    return src_p, sm, tgt_p, sm.copy(), corr
+    tgt_p = np.zeros((cap, 3), np.float32)
+    tgt_p[:n_tgt] = tgt[kept_idx]
+    tgt_p[n_tgt : n_tgt + n_extra] = extra
+    tm = np.zeros(cap, bool)
+    tm[: n_tgt + n_extra] = True
+
+    # correspondences: src index -> position in the kept target list
+    inv = -np.ones(n, np.int64)
+    inv[kept_idx] = np.arange(n_tgt)
+    cs = np.zeros(cap, np.int32)
+    ct = np.zeros(cap, np.int32)
+    cm = np.zeros(cap, bool)
+    m = 0
+    for i in range(n):
+        if inv[i] >= 0 and m < cap:
+            cs[m], ct[m], cm[m] = i, inv[i], True
+            m += 1
+    return src_p, sm, tgt_p, tm, cs, ct, cm
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--warmup", type=int, default=100)
     ap.add_argument("--data", default=None, help="4DMatch root (optional)")
     ap.add_argument("--out", default="checkpoints/lepard_trained.npz")
+    ap.add_argument("--eval_every", type=int, default=200)
+    ap.add_argument("--save_every", type=int, default=500)
+    ap.add_argument("--rigid_only", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -58,17 +122,24 @@ def main():
         init_lepard_params,
         lepard_match,
     )
+    from occlusionfusion_tpu.models.checkpoint import save_lepard_checkpoint
     from occlusionfusion_tpu.models.deform_loss import focal_correspondence_loss
     from occlusionfusion_tpu.ops.knn import knn_lax
-    from occlusionfusion_tpu.utils.snapshot import save_pytree
 
     cfg = LepardConfig(
         kpfcn=K.KPFCNConfig(
             pyramid=K.PyramidConfig(level_sizes=(256, 96, 48, 24), first_voxel=0.06)
         )
     )
-    params = init_lepard_params(jax.random.PRNGKey(0), cfg)
-    optimizer = optax.adam(args.lr)
+    params = init_lepard_params(jax.random.PRNGKey(args.seed), cfg)
+    warmup = min(args.warmup, max(args.steps // 5, 1))
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=args.lr, warmup_steps=warmup,
+        decay_steps=max(args.steps, warmup + 1), end_value=args.lr * 0.02,
+    )
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adamw(schedule, weight_decay=1e-5)
+    )
     opt_state = optimizer.init(params)
 
     dataset = None
@@ -77,9 +148,7 @@ def main():
 
         dataset = FourDMatchDataset(args.data)
 
-    def loss_fn(params, src, sm, tgt, tm, gt_corr_src, gt_corr_tgt, corr_mask):
-        m = lepard_match(params, cfg, src, sm, tgt, tm)
-        # project GT correspondences onto the coarse level by nearest point
+    def gt_matrix(m, src, tgt, gt_corr_src, gt_corr_tgt, corr_mask):
         _, src_coarse_idx = knn_lax(src[gt_corr_src], m.src_points, k=1,
                                     valid=m.src_valid)
         _, tgt_coarse_idx = knn_lax(tgt[gt_corr_tgt], m.tgt_points, k=1,
@@ -90,51 +159,68 @@ def main():
         gt = gt.at[src_coarse_idx[:, 0], tgt_coarse_idx[:, 0]].max(
             corr_mask.astype(jnp.float32)
         )
+        return gt
+
+    def loss_fn(params, src, sm, tgt, tm, gt_corr_src, gt_corr_tgt, corr_mask):
+        m = lepard_match(params, cfg, src, sm, tgt, tm)
+        gt = gt_matrix(m, src, tgt, gt_corr_src, gt_corr_tgt, corr_mask)
         valid = m.src_valid[:, None] & m.tgt_valid[None, :]
         return focal_correspondence_loss(m.confidence, gt, valid)
 
-    train_step = jax.jit(
-        lambda p, o, *b: _step(p, o, *b)
-    )
-
-    def _step(params, opt_state, *batch):
+    @jax.jit
+    def train_step(params, opt_state, *batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    rng = np.random.RandomState(0)
-    t0 = time.perf_counter()
-    for step in range(args.steps):
+    @jax.jit
+    def eval_step(params, src, sm, tgt, tm, cs, ct, cm):
+        m = lepard_match(params, cfg, src, sm, tgt, tm)
+        gt = gt_matrix(m, src, tgt, cs, ct, cm)
+        has_gt = (jnp.sum(gt, axis=1) > 0) & m.src_valid
+        pred = jnp.argmax(m.confidence, axis=1)
+        hit = gt[jnp.arange(gt.shape[0]), pred] > 0
+        acc = jnp.sum(hit & has_gt) / jnp.maximum(jnp.sum(has_gt), 1)
+        # inlier ratio of thresholded mutual matches
+        match_hit = gt[jnp.arange(gt.shape[0]), m.match_tgt] > 0
+        n_match = jnp.maximum(jnp.sum(m.match_valid), 1)
+        inlier = jnp.sum(match_hit & m.match_valid) / n_match
+        return acc, inlier, jnp.sum(m.match_valid)
+
+    def batch_from(rng):
         if dataset is not None:
             s = dataset[rng.randint(len(dataset))]
-            batch = (
-                jnp.asarray(s["source"]), jnp.asarray(s["source_mask"]),
-                jnp.asarray(s["target"]), jnp.asarray(s["target_mask"]),
-                jnp.asarray(s["corr_src"]), jnp.asarray(s["corr_tgt"]),
-                jnp.asarray(s["corr_mask"]),
-            )
-        else:
-            src, sm, tgt, tm, corr = synthetic_pair(rng)
-            cc = 256
-            cs = np.zeros(cc, np.int32)
-            ct = np.zeros(cc, np.int32)
-            cm = np.zeros(cc, bool)
-            ncorr = min(len(corr), cc)
-            cs[:ncorr] = corr[:ncorr, 0]
-            ct[:ncorr] = corr[:ncorr, 1]
-            cm[:ncorr] = True
-            batch = tuple(
-                jnp.asarray(x) for x in (src, sm, tgt, tm, cs, ct, cm)
-            )
-        params, opt_state, loss = train_step(params, opt_state, *batch)
-        if step % 10 == 0 or step == args.steps - 1:
+            return tuple(jnp.asarray(s[k]) for k in (
+                "source", "source_mask", "target", "target_mask",
+                "corr_src", "corr_tgt", "corr_mask"))
+        return tuple(jnp.asarray(x) for x in synthetic_pair(
+            rng, nonrigid=not args.rigid_only))
+
+    rng = np.random.RandomState(args.seed)
+    val_rng = np.random.RandomState(10_000 + args.seed)
+    val_batches = [batch_from(val_rng) for _ in range(8)]
+
+    t0 = time.perf_counter()
+    loss = None
+    for step in range(args.steps):
+        params, opt_state, loss = train_step(params, opt_state, *batch_from(rng))
+        if step % args.eval_every == 0 or step == args.steps - 1:
+            accs, inls, nms = [], [], []
+            for vb in val_batches:
+                a, i, nm = eval_step(params, *vb)
+                accs.append(float(a)); inls.append(float(i)); nms.append(float(nm))
             print(
                 f"step {step}: loss {float(loss):.4f} "
-                f"({time.perf_counter() - t0:.1f}s)"
+                f"val acc {np.mean(accs):.3f} inlier {np.mean(inls):.3f} "
+                f"matches {np.mean(nms):.1f} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
             )
-    save_pytree(args.out, params)
-    print(f"saved {args.out}")
+        if args.save_every and step and step % args.save_every == 0:
+            save_lepard_checkpoint(args.out, params, cfg)
+    save_lepard_checkpoint(args.out, params, cfg)
+    print(f"saved {args.out} (+ .json config side-car)")
 
 
 if __name__ == "__main__":

@@ -50,3 +50,32 @@ def test_pipeline_with_flow_source():
     info = fusion.register_frame(seq.load(1))
     assert info["n_correspondences"] > 0
     assert np.isfinite(info["final_loss"])
+
+
+class TestLepardCheckpointRoundtrip:
+    def test_save_load(self, tmp_path):
+        import jax
+
+        from occlusionfusion_tpu.models import kpconv as K
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_lepard_checkpoint,
+            save_lepard_checkpoint,
+        )
+
+        cfg = LepardConfig(
+            kpfcn=K.KPFCNConfig(
+                pyramid=K.PyramidConfig(
+                    level_sizes=(256, 96, 48, 24), first_voxel=0.06
+                )
+            )
+        )
+        params = init_lepard_params(jax.random.PRNGKey(0), cfg)
+        path = str(tmp_path / "lep.npz")
+        save_lepard_checkpoint(path, params, cfg)
+        params2, cfg2 = load_lepard_checkpoint(path)
+        assert cfg2 == cfg
+        flat1 = jax.tree_util.tree_leaves(params)
+        flat2 = jax.tree_util.tree_leaves(params2)
+        assert len(flat1) == len(flat2)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
