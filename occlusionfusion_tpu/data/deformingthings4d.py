@@ -83,3 +83,46 @@ def trajectory_ate(pred: np.ndarray, gt: np.ndarray) -> float:
     position error (the BASELINE ATE metric)."""
     err = np.linalg.norm(pred - gt, axis=-1)
     return float(np.sqrt(np.mean(err**2)))
+
+
+def rigid_pose_np(src: np.ndarray, dst: np.ndarray):
+    """Least-squares rigid (R, t) with dst ≈ R @ src + t (numpy Kabsch;
+    the GT-pose extractor for pose-trajectory evaluation)."""
+    cs, cd = src.mean(0), dst.mean(0)
+    H = (src - cs).T @ (dst - cd)
+    U, _, Vt = np.linalg.svd(H.astype(np.float64))
+    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ S @ U.T
+    return R.astype(np.float32), (cd - R @ cs).astype(np.float32)
+
+
+def pose_trajectory_ate(
+    frame_ids: np.ndarray,  # [K]
+    R_est: np.ndarray,  # [K, 3, 3]  canonical -> frame
+    t_est: np.ndarray,  # [K, 3]
+    gt: np.ndarray,  # [F, nv, 3] GT vertex trajectories (camera frame)
+) -> dict:
+    """Score an estimated keyframe pose trajectory (the
+    ``results/trajectory.npz`` artifact of scripts/run_fusion.py) against
+    a clip's GT vertex trajectories.
+
+    The GT pose at frame f is the rigid component of the GT motion,
+    Kabsch(gt[0] -> gt[f]). Both est and GT poses are maps on the same
+    scene, so they are compared as actions on the canonical centroid
+    (position ATE, origin-independent) plus geodesic rotation error.
+    Returns {"pose_ate_m", "rot_err_deg", "keyframes"}.
+    """
+    c = gt[0].mean(0)
+    pos_err, rot_err = [], []
+    for k, f in enumerate(np.asarray(frame_ids, int)):
+        Rg, tg = rigid_pose_np(gt[0], gt[f])
+        pos_err.append(
+            np.linalg.norm((R_est[k] @ c + t_est[k]) - (Rg @ c + tg))
+        )
+        cosang = (np.trace(R_est[k].T @ Rg) - 1.0) / 2.0
+        rot_err.append(np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0))))
+    return {
+        "pose_ate_m": float(np.sqrt(np.mean(np.square(pos_err)))),
+        "rot_err_deg": float(np.mean(rot_err)),
+        "keyframes": int(len(pos_err)),
+    }

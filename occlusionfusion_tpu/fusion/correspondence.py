@@ -23,18 +23,29 @@ import jax.numpy as jnp
 from occlusionfusion_tpu.geometry.camera import Intrinsics, backproject_depth
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth_diff",))
+@functools.partial(jax.jit, static_argnames=("max_depth_diff", "bilinear"))
 def projective_correspondences(
     deformed_points: jnp.ndarray,  # [P, 3] current model in camera frame
     point_valid: jnp.ndarray,  # [P]
     depth_im: jnp.ndarray,  # [H, W]
     intr: Intrinsics,
     max_depth_diff: float = 0.1,
+    bilinear: bool = True,
 ):
     """Returns (targets [P, 3], valid [P]).
 
     A correspondence is valid when the deformed point projects in-frame
     onto observed depth within ``max_depth_diff`` along z.
+
+    With ``bilinear=True`` (default) the observed depth at the continuous
+    projection (u, v) is a validity-weighted bilinear blend of the four
+    surrounding pixels, and only corners on the *same surface* as the
+    predicted point (|d_corner − z| < max_depth_diff) contribute — so the
+    blend never mixes foreground and background across a depth edge. The
+    target is backprojected at the continuous (u, v), removing the
+    half-pixel quantization noise floor of nearest-pixel association
+    (the reference's bilinear target sampling: ``model/model.py:941-954``).
+    ``bilinear=False`` keeps the original nearest-pixel association.
     """
     H, W = depth_im.shape
     z = deformed_points[:, 2]
@@ -42,17 +53,48 @@ def projective_correspondences(
     zs = jnp.where(ok, z, 1.0)
     u = deformed_points[:, 0] / zs * intr.fx + intr.cx
     v = deformed_points[:, 1] / zs * intr.fy + intr.cy
-    px = jnp.round(u).astype(jnp.int32)
-    py = jnp.round(v).astype(jnp.int32)
-    inb = (px >= 0) & (px < W) & (py >= 0) & (py < H) & ok
-    pxc = jnp.clip(px, 0, W - 1)
-    pyc = jnp.clip(py, 0, H - 1)
-    d = depth_im[pyc, pxc]
-    close = jnp.abs(d - z) < max_depth_diff
-    valid = point_valid & inb & (d > 0) & close
-    # target: the observed 3D point at that pixel
-    tx = (pxc.astype(jnp.float32) - intr.cx) / intr.fx * d
-    ty = (pyc.astype(jnp.float32) - intr.cy) / intr.fy * d
+
+    if not bilinear:
+        px = jnp.round(u).astype(jnp.int32)
+        py = jnp.round(v).astype(jnp.int32)
+        inb = (px >= 0) & (px < W) & (py >= 0) & (py < H) & ok
+        pxc = jnp.clip(px, 0, W - 1)
+        pyc = jnp.clip(py, 0, H - 1)
+        d = depth_im[pyc, pxc]
+        close = jnp.abs(d - z) < max_depth_diff
+        valid = point_valid & inb & (d > 0) & close
+        tx = (pxc.astype(jnp.float32) - intr.cx) / intr.fx * d
+        ty = (pyc.astype(jnp.float32) - intr.cy) / intr.fy * d
+        targets = jnp.stack([tx, ty, d], axis=-1)
+        targets = jnp.where(valid[:, None], targets, deformed_points)
+        return targets, valid
+
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    fu = u - x0.astype(jnp.float32)
+    fv = v - y0.astype(jnp.float32)
+    num = jnp.zeros_like(z)
+    den = jnp.zeros_like(z)
+    for dy, dx, wgt in (
+        (0, 0, (1.0 - fu) * (1.0 - fv)),
+        (0, 1, fu * (1.0 - fv)),
+        (1, 0, (1.0 - fu) * fv),
+        (1, 1, fu * fv),
+    ):
+        cx_ = x0 + dx
+        cy_ = y0 + dy
+        inb = (cx_ >= 0) & (cx_ < W) & (cy_ >= 0) & (cy_ < H)
+        dc = depth_im[jnp.clip(cy_, 0, H - 1), jnp.clip(cx_, 0, W - 1)]
+        # same-surface gate: a corner only votes if its depth is already
+        # consistent with the predicted point, so edges don't blend.
+        good = inb & (dc > 0) & (jnp.abs(dc - z) < max_depth_diff)
+        w = jnp.where(good, wgt, 0.0)
+        num = num + w * dc
+        den = den + w
+    d = num / jnp.maximum(den, 1e-12)
+    valid = point_valid & ok & (den > 1e-6) & (jnp.abs(d - z) < max_depth_diff)
+    tx = (u - intr.cx) / intr.fx * d
+    ty = (v - intr.cy) / intr.fy * d
     targets = jnp.stack([tx, ty, d], axis=-1)
     targets = jnp.where(valid[:, None], targets, deformed_points)
     return targets, valid

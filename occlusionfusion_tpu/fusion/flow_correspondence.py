@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from occlusionfusion_tpu.geometry.camera import bilinear_sample
-from occlusionfusion_tpu.models.pwcnet import pwcnet_forward
+from occlusionfusion_tpu.models.pwcnet import masknet_forward, pwcnet_forward
 
 
 @functools.partial(jax.jit, static_argnames=("flow_scale",))
@@ -27,23 +27,37 @@ def flow_correspondences(
     source_rgbxyz: jnp.ndarray,  # [6, H, W] source RGB + point image
     target_rgbxyz: jnp.ndarray,  # [6, H, W]
     flow_scale: float = 20.0,
+    mask_params=None,
 ):
     """Returns (flow [H, W, 2] full-res pixels, target_points [H, W, 3],
-    valid [H, W]).
+    valid [H, W], weights [H, W]).
 
     Mirrors the reference lift: flow predicted at quarter resolution is
     upsampled x4 and scaled x20 (``model.py:898-930``), then the target
     XYZ image is bilinearly sampled at the flowed pixels
     (``model.py:941-954``); a sample is valid when source depth and the
     sampled target depth are positive.
+
+    With ``mask_params`` the MaskNet head predicts per-pixel
+    correspondence weights from the decoder features + both RGB-XYZ
+    images (``model.py:969-994``) — the landmark-validity weighting the
+    Gauss-Newton solver consumes. Without it, weights are 1 where valid.
     """
     H, W = source_rgbxyz.shape[1:]
-    im1 = source_rgbxyz[None, :3].transpose(0, 2, 3, 1)
-    im2 = target_rgbxyz[None, :3].transpose(0, 2, 3, 1)
-    flow_q, _ = pwcnet_forward(pwc_params, im1, im2)
+    # PWC's 6-level pyramid needs dims divisible by 64 (the reference
+    # fixes its input at 448x640, options.py:13-18); zero-pad
+    # bottom/right and crop the flow back
+    Hp = -(-H // 64) * 64
+    Wp = -(-W // 64) * 64
+    src_p = jnp.pad(source_rgbxyz, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    tgt_p = jnp.pad(target_rgbxyz, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    im1 = src_p[None, :3].transpose(0, 2, 3, 1)
+    im2 = tgt_p[None, :3].transpose(0, 2, 3, 1)
+    flow_q, feat = pwcnet_forward(pwc_params, im1, im2)
     flow = (
-        jax.image.resize(flow_q[0], (H, W, 2), method="bilinear") * flow_scale
-    )
+        jax.image.resize(flow_q[0], (Hp, Wp, 2), method="bilinear")
+        * flow_scale
+    )[:H, :W]
     v, u = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32),
         jnp.arange(W, dtype=jnp.float32),
@@ -60,7 +74,17 @@ def flow_correspondences(
     )
     src_depth = source_rgbxyz[5]
     valid = inb & (src_depth > 0) & (sampled[..., 2] > 0)
-    return flow, sampled, valid
+    if mask_params is not None:
+        weights = masknet_forward(
+            mask_params,
+            feat,
+            src_p[None].transpose(0, 2, 3, 1),
+            tgt_p[None].transpose(0, 2, 3, 1),
+        )[0, :H, :W, 0]
+        weights = jnp.where(valid, weights, 0.0)
+    else:
+        weights = valid.astype(jnp.float32)
+    return flow, sampled, valid, weights
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes",))

@@ -75,6 +75,11 @@ class FusionConfig:
     # flow-lifted per-pixel 3D targets override projective association for
     # model points whose flowed sample is valid (run_model.py:115-217)
     use_flow: bool = False
+    # MaskNet gating of flow correspondences (model.py:969-994 eval
+    # threshold semantics): a flow sample only overrides projective
+    # association where the predicted correspondence weight exceeds this
+    # (requires mask_params; ignored otherwise)
+    flow_mask_threshold: float = 0.35
     # keyframe pose graph for long-sequence drift correction (north-star
     # subsystem, no reference counterpart): record a keyframe every N
     # frames (0 = off); loop closures re-register the current model
@@ -105,7 +110,7 @@ class FusionConfig:
 class DynamicFusion:
     def __init__(self, sequence, config: FusionConfig,
                  motion_params=None, lepard_params=None,
-                 lepard_config=None, flow_params=None):
+                 lepard_config=None, flow_params=None, mask_params=None):
         self.seq = sequence
         self.config = config
         self.intr = sequence.intrinsics
@@ -119,6 +124,7 @@ class DynamicFusion:
         if config.use_lepard and lepard_params is None:
             raise ValueError("use_lepard requires lepard_params")
         self.flow_params = flow_params
+        self.mask_params = mask_params
         if config.use_flow and flow_params is None:
             raise ValueError("use_flow requires flow_params")
         self.prev_frame: Optional[Frame] = None
@@ -271,8 +277,9 @@ class DynamicFusion:
                 rgb = jnp.asarray(f.color).transpose(2, 0, 1) / 255.0
                 return jnp.concatenate([rgb, xyz.transpose(2, 0, 1)], 0)
 
-            _, flow_targets, flow_valid = flow_correspondences(
-                self.flow_params, rgbxyz(self.prev_frame), rgbxyz(frame)
+            _, flow_targets, flow_valid, flow_weights = flow_correspondences(
+                self.flow_params, rgbxyz(self.prev_frame), rgbxyz(frame),
+                mask_params=self.mask_params,
             )
             # sample flowed targets at the deformed points' projections
             z = jnp.maximum(deformed_pts[:, 2], 1e-6)
@@ -286,6 +293,11 @@ class DynamicFusion:
                 flow_valid[..., None].astype(jnp.float32), uv
             )[:, 0]
             ok = inb & (vsamp > 0.5) & (deformed_pts[:, 2] > 0)
+            if self.mask_params is not None:
+                # MaskNet landmark-validity gate (model.py:969-994): only
+                # confidently-weighted flow samples override projective
+                wsamp = bilinear_sample(flow_weights[..., None], uv)[:, 0]
+                ok = ok & (wsamp > self.config.flow_mask_threshold)
             targets = jnp.where(ok[:, None], sampled, targets)
             corr_valid = corr_valid | ok
 

@@ -63,6 +63,31 @@ def load_params(npz_path: str):
     return nest_flat_dict({k: data[k] for k in data.files})
 
 
+def normalize_indexed(tree):
+    """Undo the flat-npz list->digit-key-dict round-trip damage.
+
+    save_pytree flattens Python lists into dicts keyed '0', '1', ... and
+    int-keyed dicts into string keys. Recursively: an all-digit-key dict
+    with contiguous keys 0..n-1 becomes a list; otherwise its keys become
+    ints (e.g. PWC decoders keyed by pyramid level 2..6). Fresh (unsaved)
+    params pass through unchanged.
+    """
+    if isinstance(tree, dict):
+        out = {k: normalize_indexed(v) for k, v in tree.items()}
+        if out and all(
+            isinstance(k, str) and k.lstrip("-").isdigit() for k in out
+        ):
+            ik = {int(k): v for k, v in out.items()}
+            ks = sorted(ik)
+            if ks == list(range(len(ks))):
+                return [ik[i] for i in ks]
+            return ik
+        return out
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(normalize_indexed(v) for v in tree)
+    return tree
+
+
 def load_motion_complete_params(
     npz_path: str | None = None, tar_path: str | None = None
 ):
@@ -133,6 +158,8 @@ def load_lepard_checkpoint(npz_path: str):
             out_dim=kp["out_dim"],
             num_kernel_points=kp["num_kernel_points"],
             blocks_per_stage=kp["blocks_per_stage"],
+            num_stages=kp.get("num_stages", 2),
+            coarse_upsamples=kp.get("coarse_upsamples", 0),
             pyramid=K.PyramidConfig(
                 level_sizes=tuple(pyr["level_sizes"]),
                 first_voxel=pyr["first_voxel"],

@@ -290,10 +290,38 @@ class KPFCNConfig(NamedTuple):
     num_kernel_points: int = 15
     # resnetb blocks per encoder stage before the strided block; the
     # reference architecture list (lepard/configs/models.py:3-21) uses
-    # 10 resnetb / 3 strided — blocks_per_stage=3 approximates its depth
-    # at our 3-level encode
+    # 10 resnetb / 3 strided + 2 decoder blocks ending at coarse level -2
+    # — that full depth is num_stages=3, blocks_per_stage=2,
+    # coarse_upsamples=1 (see full_depth_config())
     blocks_per_stage: int = 1
+    # strided encoder stages (encode to pyramid level num_stages)
+    num_stages: int = 2
+    # nearest-upsample+concat decoder blocks walked back up from the
+    # deepest level; the coarse output level is num_stages -
+    # coarse_upsamples (reference backbone.py:120-142 decodes 2 blocks
+    # back to level -2)
+    coarse_upsamples: int = 0
     pyramid: PyramidConfig = PyramidConfig()
+
+
+def full_depth_config(**overrides) -> KPFCNConfig:
+    """The reference-depth KPFCN (lepard/configs/models.py:3-21): three
+    strided stages with two resnetb blocks each, decoder upsampling one
+    level so the coarse output sits at pyramid level 2 (= -2 of 4), with
+    deeper context from level 3 mixed in."""
+    return KPFCNConfig(
+        blocks_per_stage=2, num_stages=3, coarse_upsamples=1, **overrides
+    )
+
+
+def _as_blocks(res):
+    """Params saved through flat-npz snapshots come back as dicts with
+    digit keys; fresh params are lists. Normalize to a list."""
+    if isinstance(res, dict) and "down" in res:
+        return [res]  # legacy single-block params
+    if isinstance(res, dict):
+        return [res[k] for k in sorted(res, key=int)]
+    return list(res)
 
 
 def init_kpfcn_params(key, config: KPFCNConfig):
@@ -307,19 +335,21 @@ def init_kpfcn_params(key, config: KPFCNConfig):
             "b": jnp.zeros(o),
         }
 
+    n_stages = config.num_stages
+    deep_dim = d * 2**n_stages
+    coarse_dim = d * 2 ** (n_stages - config.coarse_upsamples)
     params = {
         "stem": {
             "weights": jax.random.normal(next(keys), (K, config.in_dim, d))
             * (2.0 / (K * config.in_dim)) ** 0.5
         },
-        # encoder: per level one resnetb + one strided resnetb
+        # encoder: per level blocks_per_stage resnetb + one strided resnetb
         "enc": [],
-        "out": lin(next(keys), d * 4, config.out_dim),
+        "out": lin(next(keys), coarse_dim, config.out_dim),
     }
-    dims = [d, d * 2, d * 4]
     cin = d
-    for l in range(2):
-        cout = dims[l + 1]
+    for l in range(n_stages):
+        cout = d * 2 ** (l + 1)
         params["enc"].append(
             {
                 "res": [
@@ -331,14 +361,23 @@ def init_kpfcn_params(key, config: KPFCNConfig):
         )
         cin = cout
     params["final_res"] = resnetb_params(next(keys), cin, cin // 2, cin, K)
+    if config.coarse_upsamples:
+        params["dec"] = []
+        c = deep_dim
+        for u in range(config.coarse_upsamples):
+            skip_c = d * 2 ** (n_stages - 1 - u)
+            params["dec"].append(lin(next(keys), c + skip_c, skip_c))
+            c = skip_c
     return params
 
 
 def kpfcn_encode(
     params, config: KPFCNConfig, levels: list[PyramidLevel]
 ) -> tuple[jnp.ndarray, PyramidLevel]:
-    """Encode to the coarse level (level 2 of the pyramid = reference's
-    coarse level -2). Returns (features [P2, out_dim], coarse level)."""
+    """Encode through num_stages strided levels, then decode
+    coarse_upsamples nearest-upsample blocks back up. Returns
+    (features [P_coarse, out_dim], coarse level) — with the defaults the
+    coarse level is pyramid level 2, the reference's level -2."""
     kp_sigma = config.pyramid.first_voxel * 1.2  # KP_extent-ish
     kp = kernel_points(config.num_kernel_points, kp_sigma)
     l0 = levels[0]
@@ -349,28 +388,36 @@ def kpfcn_encode(
     )
     x = jax.nn.leaky_relu(_group_norm(x, l0.valid), 0.1)
     voxel = config.pyramid.first_voxel
-    for l in range(2):
+    enc = _as_blocks(params["enc"])
+    skips = []
+    for l in range(config.num_stages):
         level = levels[l]
         nxt = levels[l + 1]
-        p = params["enc"][l]
+        p = enc[l]
         kp_l = kernel_points(config.num_kernel_points, voxel * 1.2)
-        res = p["res"]
-        if isinstance(res, dict) and "down" in res:
-            res_blocks = [res]  # legacy single-block params
-        elif isinstance(res, dict):
-            res_blocks = [res[k] for k in sorted(res, key=int)]  # from npz
-        else:
-            res_blocks = res
-        for rp in res_blocks:
+        for rp in _as_blocks(p["res"]):
             x = resnetb_block(
                 rp, x, level, level, level.neighbors, kp_l, voxel * 1.2
             )
+        skips.append(x)
         x = resnetb_block(p["strided"], x, level, nxt, level.pool, kp_l, voxel * 1.2)
         voxel *= 2
-    coarse = levels[2]
+    deep = levels[config.num_stages]
     kp_l = kernel_points(config.num_kernel_points, voxel * 1.2)
     x = resnetb_block(
-        params["final_res"], x, coarse, coarse, coarse.neighbors, kp_l, voxel * 1.2
+        params["final_res"], x, deep, deep, deep.neighbors, kp_l, voxel * 1.2
     )
+    coarse_idx = config.num_stages
+    if config.coarse_upsamples:
+        for u, dp in enumerate(_as_blocks(params["dec"])):
+            lvl_idx = config.num_stages - 1 - u
+            lvl = levels[lvl_idx]
+            # nearest upsample (backbone.py nearest_upsample block):
+            # lvl.up indexes each level-l point's nearest level-(l+1) point
+            x = x[lvl.up]
+            x = jnp.concatenate([x, skips[lvl_idx]], axis=-1)
+            x = jax.nn.leaky_relu(_group_norm(_linear(dp, x), lvl.valid), 0.1)
+            coarse_idx = lvl_idx
+    coarse = levels[coarse_idx]
     x = _linear(params["out"], x)
     return x, coarse

@@ -164,19 +164,18 @@ def extract_pyramid(params, image: jnp.ndarray):
     return feats
 
 
-@jax.jit
-def pwcnet_forward(params, im1: jnp.ndarray, im2: jnp.ndarray):
-    """Estimate flow im1 -> im2 at quarter resolution.
+def _pwcnet_decode(params, im1: jnp.ndarray, im2: jnp.ndarray):
+    """Shared decoder pass: returns ({lvl: flow_lvl}, final feat). Flow at
+    each level is in that level's pixel units x 1/20; level 2 includes the
+    context-refiner residual."""
+    from occlusionfusion_tpu.models.checkpoint import normalize_indexed
 
-    Returns flow [B, H/4, W/4, 2] in quarter-res pixel units x 1/20 — the
-    caller upsamples and multiplies by 20 like the reference
-    (``model.py:898-930``). Also returns the final decoder features
-    [B, H/4, W/4, 565] for MaskNet.
-    """
+    params = normalize_indexed(params)  # npz-loaded checkpoints
     f1 = extract_pyramid(params, im1)
     f2 = extract_pyramid(params, im2)
     flow = None
     feat = None
+    flows = {}
     for lvl in (6, 5, 4, 3, 2):
         dec = params["decoders"][lvl]
         a = f1[lvl]
@@ -194,13 +193,37 @@ def pwcnet_forward(params, im1: jnp.ndarray, im2: jnp.ndarray):
             x = jnp.concatenate([_lrelu(_conv(conv, x)), x], axis=-1)
         flow = _conv(dec["flow"], x)
         feat = x
+        flows[lvl] = flow
     # context refiner at level 2
     r = feat
     dils = (1, 2, 4, 8, 16, 1, 1)
     for conv, dil in zip(params["refiner"][:-1], dils[:-1]):
         r = _lrelu(_conv(conv, r, dilation=dil))
-    flow = flow + _conv(params["refiner"][-1], r)
-    return flow, feat
+    flows[2] = flow + _conv(params["refiner"][-1], r)
+    return flows, feat
+
+
+@jax.jit
+def pwcnet_forward(params, im1: jnp.ndarray, im2: jnp.ndarray):
+    """Estimate flow im1 -> im2 at quarter resolution.
+
+    Returns flow [B, H/4, W/4, 2] in quarter-res pixel units x 1/20 — the
+    caller upsamples and multiplies by 20 like the reference
+    (``model.py:898-930``). Also returns the final decoder features
+    [B, H/4, W/4, 565] for MaskNet.
+    """
+    flows, feat = _pwcnet_decode(params, im1, im2)
+    return flows[2], feat
+
+
+@jax.jit
+def pwcnet_forward_multiscale(params, im1: jnp.ndarray, im2: jnp.ndarray):
+    """All decoder-level flows ({2..6: [B, H/2^l, W/2^l, 2]}) plus the
+    final features — the training forward (standard PWC multi-scale
+    supervision; the reference trains only through the final level,
+    model/loss.py:27-71, but per-level supervision is the published
+    PWC-Net recipe and converges far faster from scratch)."""
+    return _pwcnet_decode(params, im1, im2)
 
 
 # ---------------------------------------------------------------------------
@@ -231,6 +254,9 @@ def masknet_forward(params, decoder_feat, source_rgbd6, target_rgbd6):
     """Predict per-pixel correspondence weights in (0, 1)
     (``model.py:49-56``): upsample decoder features x4, concat with the
     6-channel source/target images, small res-net, sigmoid."""
+    from occlusionfusion_tpu.models.checkpoint import normalize_indexed
+
+    params = normalize_indexed(params)  # npz-loaded checkpoints
     x = _deconv(params["upconv1"], decoder_feat)
     x = _deconv(params["upconv2"], x)
     x = jnp.concatenate([x, source_rgbd6, target_rgbd6], axis=-1)

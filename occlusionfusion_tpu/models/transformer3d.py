@@ -282,7 +282,18 @@ def reposition_transformer(
     R = jnp.eye(3)
     t = jnp.zeros(3)
     rope_tgt = rotary_pe_3d(tgt_points, config.dim, config.rope_voxel)
-    for p, lt in zip(params["layers"], config.layer_types):
+    layers = params["layers"]
+
+    def layer_params(i):
+        # flat-npz snapshots turn the list into a dict of digit keys AND
+        # drop the empty {} entries of positioning layers — index by
+        # position so reloaded checkpoints stay aligned with layer_types
+        if isinstance(layers, dict):
+            return layers.get(str(i), {})
+        return layers[i]
+
+    for i, lt in enumerate(config.layer_types):
+        p = layer_params(i)
         rope_src = rotary_pe_3d(cur_src_pos, config.dim, config.rope_voxel)
         if lt == "self":
             src_feats = attention_layer(

@@ -58,12 +58,26 @@ def main():
     ap.add_argument("--solver", default="gn_dense")
     ap.add_argument("--use_motion_model", action="store_true")
     ap.add_argument("--out", default=None, help="write metrics JSON here")
+    ap.add_argument(
+        "--trajectory", default=None,
+        help="score an exported results/trajectory.npz (from "
+        "run_fusion.py --keyframe_interval) against this clip's GT "
+        "rigid poses instead of running fusion",
+    )
+    ap.add_argument(
+        "--gt", default=None,
+        help="gt_vertices.npy from convert_dt4d.py (exact camera-frame "
+        "GT for --trajectory scoring; otherwise GT is re-rendered from "
+        "the .anime clip)",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
 
     from occlusionfusion_tpu.data.deformingthings4d import (
         anime_to_depth_sequence,
+        pose_trajectory_ate,
+        rigid_pose_np,
         trajectory_ate,
     )
     from occlusionfusion_tpu.fusion import warpfield as W
@@ -76,15 +90,34 @@ def main():
     from occlusionfusion_tpu.utils.metrics import epe_3d
 
     path = args.anime
-    if args.synthetic or path is None:
+    if args.synthetic or (path is None and args.gt is None):
         path = synthetic_anime("/tmp/synthetic_clip.anime", args.frames + 1)
 
     intr = Intrinsics(
         np.float32(300.0), np.float32(300.0), np.float32(80.0), np.float32(80.0)
     )
-    depths, gt = anime_to_depth_sequence(
-        path, intr, image_hw=(160, 160), max_frames=args.frames
-    )
+    if args.gt is not None:
+        if not args.trajectory:
+            ap.error("--gt is only meaningful with --trajectory")
+        gt = np.load(args.gt)
+        depths = None
+    else:
+        depths, gt = anime_to_depth_sequence(
+            path, intr, image_hw=(160, 160), max_frames=args.frames
+        )
+
+    if args.trajectory:
+        # score an exported keyframe trajectory artifact and exit
+        data = np.load(args.trajectory)
+        metrics = pose_trajectory_ate(
+            data["frame_ids"], data["rotations"], data["translations"], gt
+        )
+        print(json.dumps(metrics))
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(metrics, fh)
+        return
+
     colors = [np.full(depths[0].shape + (3,), 128.0, np.float32) for _ in depths]
     seq = ArraySequence(colors, list(depths), intr)
 
@@ -124,6 +157,11 @@ def main():
 
     per_frame_epe = []
     tracked = [np.asarray(gt[0])]
+    nodes_np = np.asarray(tables.nodes)
+    nvalid_np = np.asarray(tables.node_valid)
+    est_ids, est_R, est_t = [0], [np.eye(3, dtype=np.float32)], [
+        np.zeros(3, np.float32)
+    ]
     for i in range(1, args.frames):
         state, info = fusion.register_frame_fused(
             sc, state, tables, seq.load(i), motion_params
@@ -133,6 +171,13 @@ def main():
         )
         pred = W.deform_points(warp, gt0, table)
         tracked.append(np.asarray(pred))
+        # estimated global rigid pose: Kabsch canonical -> deformed nodes
+        # (pivoted transforms: deformed node = g + t)
+        deformed_nodes = nodes_np + np.asarray(state.translations)
+        Re, te = rigid_pose_np(nodes_np[nvalid_np], deformed_nodes[nvalid_np])
+        est_ids.append(i)
+        est_R.append(Re)
+        est_t.append(te)
         # evaluate on vertices actually visible in this frame's depth map
         from occlusionfusion_tpu.fusion.tsdf import check_visibility
 
@@ -147,9 +192,14 @@ def main():
     ate = trajectory_ate(
         np.stack(tracked)[:, np.asarray(reach)], gt[: args.frames][:, np.asarray(reach)]
     )
+    pose_metrics = pose_trajectory_ate(
+        np.asarray(est_ids), np.stack(est_R), np.stack(est_t), gt
+    )
     elapsed = time.perf_counter() - t0
     metrics = {
         "ate_m": round(ate, 5),
+        "pose_ate_m": round(pose_metrics["pose_ate_m"], 5),
+        "rot_err_deg": round(pose_metrics["rot_err_deg"], 3),
         "final_epe_m": round(per_frame_epe[-1], 5),
         "mean_epe_m": round(float(np.mean(per_frame_epe)), 5),
         "frames": args.frames,

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--lepard_weights", default=None,
                     help="matcher checkpoint (train_lepard.py output); "
                          "enables learned scene flow in the loop")
+    ap.add_argument("--flow_weights", default=None,
+                    help="PWC-Net(+MaskNet) checkpoint (train_flow.py "
+                         "output); enables the optical-flow "
+                         "correspondence source")
     ap.add_argument("--keyframe_interval", type=int, default=0,
                     help="pose-graph keyframe every N frames; 0 = off")
     ap.add_argument("--loop_radius", type=float, default=0.3,
@@ -85,6 +89,14 @@ def main():
             args.lepard_weights
         )
 
+    flow_params = mask_params = None
+    if args.flow_weights:
+        from occlusionfusion_tpu.utils.snapshot import load_params
+
+        ck = load_params(args.flow_weights)
+        flow_params = ck["pwc"]
+        mask_params = ck.get("mask")
+
     config = FusionConfig(
         vol_dim=(args.voxel_dim,) * 3,
         voxel_size=args.voxel_size,
@@ -98,6 +110,7 @@ def main():
         keyframe_interval=args.keyframe_interval,
         loop_radius=args.loop_radius,
         use_lepard=lepard_params is not None,
+        use_flow=flow_params is not None,
     )
     seq = RGBDSequence(
         args.datadir,
@@ -108,6 +121,7 @@ def main():
     fusion = DynamicFusion(
         seq, config, motion_params=motion_params,
         lepard_params=lepard_params, lepard_config=lepard_config,
+        flow_params=flow_params, mask_params=mask_params,
     )
 
     os.makedirs(args.results, exist_ok=True)

@@ -58,10 +58,32 @@ class TestCLIChain:
              "--voxel_dim", "48", "--voxel_size", "0.006",
              "--node_coverage", "0.03", "--end_frame", "3",
              "--nicp_iters", "40", "--max_nodes", "256",
-             "--max_points", "2048", "--no_motion_model"],
+             "--max_points", "2048", "--no_motion_model",
+             "--keyframe_interval", "1"],
         )
         assert os.path.exists(os.path.join(results, "final_mesh.ply"))
         assert os.path.exists(os.path.join(results, "convergence.json"))
+        traj = os.path.join(results, "trajectory.npz")
+        assert os.path.exists(traj)
+
+        # score the exported keyframe trajectory against the converted
+        # clip's exact camera-frame GT (evaluate_dt4d --trajectory)
+        import json
+
+        metrics_path = str(tmp_path / "traj_metrics.json")
+        run_script(
+            "evaluate_dt4d.py",
+            ["--trajectory", traj,
+             "--gt", os.path.join(seq_dir, "gt_vertices.npy"),
+             "--out", metrics_path],
+        )
+        with open(metrics_path) as fh:
+            metrics = json.load(fh)
+        assert metrics["keyframes"] >= 2
+        # the clip's motion is a pure 2 mm/frame translation; tracked
+        # keyframe poses must stay within a few mm of the GT poses
+        assert metrics["pose_ate_m"] < 0.01, metrics
+        assert metrics["rot_err_deg"] < 5.0, metrics
 
     def test_register_pair(self, tmp_path):
         rng = np.random.RandomState(0)

@@ -233,3 +233,92 @@ class TestLoaderPreprocessing:
         assert bool(ok_plain[0]) and bool(ok_plain[1])
         assert not bool(ok_masked[0])  # boundary point excluded
         assert bool(ok_masked[1])  # interior point survives
+
+    def test_pose_trajectory_ate(self):
+        from occlusionfusion_tpu.data.deformingthings4d import (
+            pose_trajectory_ate,
+            rigid_pose_np,
+        )
+
+        rng = np.random.RandomState(3)
+        pts = rng.randn(200, 3).astype(np.float32)
+        # GT: rotate about z by 0.1*f rad and translate by 0.01*f
+        gt, R_true, t_true = [pts], [np.eye(3, dtype=np.float32)], [
+            np.zeros(3, np.float32)
+        ]
+        for f in range(1, 5):
+            a = 0.1 * f
+            R = np.asarray(
+                [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+                 [0, 0, 1]], np.float32)
+            t = np.asarray([0.01 * f, 0.0, 0.0], np.float32)
+            gt.append(pts @ R.T + t)
+            R_true.append(R)
+            t_true.append(t)
+        gt = np.stack(gt)
+        ids = np.arange(5)
+        # exact poses -> zero error
+        m = pose_trajectory_ate(ids, np.stack(R_true), np.stack(t_true), gt)
+        assert m["pose_ate_m"] < 1e-5 and m["rot_err_deg"] < 0.01
+        # rigid_pose_np recovers the GT pose from the trajectories
+        Rr, tr = rigid_pose_np(gt[0], gt[3])
+        np.testing.assert_allclose(Rr, R_true[3], atol=1e-5)
+        np.testing.assert_allclose(tr, t_true[3], atol=1e-5)
+        # a 5 mm translation bias on every pose -> 5 mm ATE
+        m2 = pose_trajectory_ate(
+            ids, np.stack(R_true),
+            np.stack(t_true) + np.asarray([0.003, 0.004, 0.0]), gt)
+        np.testing.assert_allclose(m2["pose_ate_m"], 0.005, rtol=1e-4)
+
+    def test_bilinear_subpixel_exact_on_sloped_plane(self):
+        from occlusionfusion_tpu.fusion.correspondence import (
+            projective_correspondences,
+        )
+        from occlusionfusion_tpu.geometry.camera import Intrinsics
+        import jax.numpy as jnp
+
+        intr = Intrinsics(np.float32(100.0), np.float32(100.0),
+                          np.float32(32.0), np.float32(32.0))
+        # depth varies linearly with the pixel column: bilinear recovery
+        # at a fractional u must be exact (nearest is off by the slope/2)
+        cols = np.arange(64, dtype=np.float32)
+        depth = np.tile(1.0 + 0.002 * cols, (64, 1))
+        u_frac, v_frac = 20.25, 31.75
+        z = float(1.0 + 0.002 * u_frac)
+        pt = jnp.asarray(
+            [[(u_frac - 32.0) / 100.0 * z, (v_frac - 32.0) / 100.0 * z, z]],
+            jnp.float32)
+        valid = jnp.ones(1, bool)
+        tgt, ok = projective_correspondences(
+            pt, valid, jnp.asarray(depth), intr, max_depth_diff=0.1)
+        assert bool(ok[0])
+        np.testing.assert_allclose(np.asarray(tgt[0]), np.asarray(pt[0]),
+                                   atol=1e-5)
+        # nearest-pixel association quantizes to column 20's depth
+        tgt_n, ok_n = projective_correspondences(
+            pt, valid, jnp.asarray(depth), intr, max_depth_diff=0.1,
+            bilinear=False)
+        assert bool(ok_n[0])
+        assert abs(float(tgt_n[0, 2]) - z) > 1e-4
+
+    def test_bilinear_does_not_blend_across_depth_edge(self):
+        from occlusionfusion_tpu.fusion.correspondence import (
+            projective_correspondences,
+        )
+        from occlusionfusion_tpu.geometry.camera import Intrinsics
+        import jax.numpy as jnp
+
+        intr = Intrinsics(np.float32(100.0), np.float32(100.0),
+                          np.float32(32.0), np.float32(32.0))
+        depth = np.full((64, 64), 1.0, np.float32)
+        depth[:, 40:] = 2.0
+        # point on the near surface projecting halfway between the last
+        # near column (39) and the first far column (40)
+        u_frac = 39.5
+        pt = jnp.asarray([[(u_frac - 32.0) / 100.0, 0.0, 1.0]], jnp.float32)
+        valid = jnp.ones(1, bool)
+        tgt, ok = projective_correspondences(
+            pt, valid, jnp.asarray(depth), intr, max_depth_diff=0.1)
+        # only the same-surface corners vote: depth stays exactly 1.0
+        assert bool(ok[0])
+        np.testing.assert_allclose(float(tgt[0, 2]), 1.0, atol=1e-6)

@@ -223,6 +223,63 @@ class TestDeepKPFCN:
         assert feats.shape == (32, cfg.out_dim)
         assert bool(jnp.all(jnp.isfinite(feats)))
 
+    def test_full_depth_config(self):
+        """Reference-depth backbone (3 strided stages, 2 resnetb each,
+        1 decoder upsample): coarse output still at pyramid level 2, with
+        level-3 context decoded in (backbone.py:120-142)."""
+        import jax
+
+        cfg = K.full_depth_config(
+            first_dim=16, out_dim=24,
+            pyramid=K.PyramidConfig(level_sizes=(128, 64, 32, 16), first_voxel=0.08),
+        )
+        params = K.init_kpfcn_params(jax.random.PRNGKey(0), cfg)
+        assert len(params["enc"]) == 3
+        assert len(params["enc"][0]["res"]) == 2
+        assert len(params["dec"]) == 1
+        pts, valid = random_cloud(100, 128, seed=9)
+        levels = K.build_pyramid(pts, valid, cfg.pyramid)
+        feats, coarse = K.kpfcn_encode(params, cfg, levels)
+        # coarse level = num_stages - coarse_upsamples = 2 -> 32 points
+        assert feats.shape == (32, cfg.out_dim)
+        assert coarse.points.shape[0] == 32
+        assert bool(jnp.all(jnp.isfinite(feats)))
+
+    def test_full_depth_in_matcher_with_checkpoint_roundtrip(self, tmp_path):
+        """End-to-end: full-depth backbone inside lepard_match, then a
+        save/load roundtrip reproduces the exact same confidences."""
+        import jax
+
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_lepard_checkpoint,
+            save_lepard_checkpoint,
+        )
+
+        cfg = LepardConfig(
+            kpfcn=K.full_depth_config(
+                first_dim=16, out_dim=32,
+                pyramid=K.PyramidConfig(
+                    level_sizes=(256, 96, 48, 24), first_voxel=0.06
+                ),
+            ),
+            reposition=TR.RepositionConfig(dim=32, heads=4),
+        )
+        params = init_lepard_params(jax.random.PRNGKey(0), cfg)
+        src, sv = random_cloud(200, 256, seed=1)
+        tgt, tv = random_cloud(200, 256, seed=2)
+        m = lepard_match(params, cfg, src, sv, tgt, tv)
+        assert bool(jnp.all(jnp.isfinite(m.confidence)))
+
+        path = str(tmp_path / "matcher.npz")
+        save_lepard_checkpoint(path, params, cfg)
+        params2, cfg2 = load_lepard_checkpoint(path)
+        assert cfg2.kpfcn.num_stages == 3
+        assert cfg2.kpfcn.coarse_upsamples == 1
+        m2 = lepard_match(params2, cfg2, src, sv, tgt, tv)
+        np.testing.assert_allclose(
+            np.asarray(m.confidence), np.asarray(m2.confidence), atol=1e-6
+        )
+
 
 class TestAttentionOracle:
     def test_attention_layer_matches_numpy(self):
