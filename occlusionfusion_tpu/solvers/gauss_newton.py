@@ -49,8 +49,12 @@ class GNConfig(NamedTuple):
     # "cholesky" — exact; sequential panels, latency-bound on TPU
     # "cg" — block-Jacobi-preconditioned CG on the assembled dense
     #         matrix; each iteration is one MXU matvec (dense_cg_iters)
+    # "schur" — recursive block-Schur SPD inverse (ops/blocksolve.py):
+    #         log-depth chain of large matmuls instead of Cholesky's
+    #         sequential panels; ~6x FLOPs, far lower latency on TPU
     linear_solver: str = "cholesky"
     dense_cg_iters: int = 24
+    schur_leaf: int = 96
 
 
 class GNProblem(NamedTuple):

@@ -294,6 +294,10 @@ def solve_dense(
                 None,
                 length=config.dense_cg_iters,
             )
+        elif config.linear_solver == "schur":
+            from occlusionfusion_tpu.ops.blocksolve import spd_schur_solve
+
+            x = spd_schur_solve(M, rhs, leaf=config.schur_leaf)
         else:
             chol, low = jax.scipy.linalg.cho_factor(M)
             x = jax.scipy.linalg.cho_solve((chol, low), rhs)

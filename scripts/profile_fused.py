@@ -1,16 +1,22 @@
 #!/usr/bin/env python
-"""Per-phase TPU profile of the fused fusion step.
+"""Per-phase TPU profile of the fused fusion step (honest timing).
 
 Times each phase of fused_register_frame (deform+integrate,
 correspondence+motion-obs, solver variants, full step) as separate jitted
-programs with block_until_ready, at several node caps, on the bench
-scenario (64^3 volume, 4k points, synthetic deforming sphere).
+programs, at several node caps, on the bench scenario (64^3 volume, 4k
+points, synthetic deforming sphere).
 
-Run on TPU in the background (remote compiles are minutes each):
+Timing methodology (CLAUDE.md): through the axon relay
+block_until_ready tracks ENQUEUE, not execution — every measurement
+chains k executions (each run's input depends on the previous run's
+output via a `* 0.0` data edge XLA cannot fold away: 0*inf=nan) and
+forces ONE scalar readback at the end; the reported number is the slope
+between two chain lengths, cancelling dispatch pipelining and d2h fetch
+latency.
+
+Run on TPU in the background (remote compiles are minutes each), ONE
+TPU process at a time:
   nohup python scripts/profile_fused.py > /tmp/profile_fused.log 2>&1 &
-
-No device->host readbacks in the timed path (CLAUDE.md: first d2h fetch
-per process can cost minutes through the relay).
 """
 
 import functools
@@ -45,49 +51,65 @@ from occlusionfusion_tpu.solvers.nicp import NICPConfig
 from occlusionfusion_tpu.solvers.gauss_newton import GNConfig, GNProblem, solve
 from occlusionfusion_tpu.solvers.gauss_newton_dense import solve_dense
 
-REPS = int(os.environ.get("PROF_REPS", "20"))
+K1 = int(os.environ.get("PROF_K1", "4"))
+K2 = int(os.environ.get("PROF_K2", "16"))
+CAPS = tuple(
+    int(c) for c in os.environ.get("PROF_CAPS", "128,512").split(",")
+)
 
 
 def note(msg):
     print(f"[profile] {msg}", flush=True)
 
 
-def timeit(name, fn, *args):
-    out = fn(*args)  # compile
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / REPS
-    note(f"{name:40s} {dt * 1e3:8.2f} ms")
+def chain_time(name, step):
+    """step: scalar -> scalar, one phase execution with a data edge from
+    the input scalar and to the output scalar. Returns slope seconds."""
+    s = step(jnp.float32(0.0))
+    float(s)  # compile + first-fetch penalty
+
+    def run(k):
+        t0 = time.perf_counter()
+        ss = jnp.float32(0.0)
+        for _ in range(k):
+            ss = step(ss)
+        float(ss)
+        return time.perf_counter() - t0
+
+    t1 = min(run(K1) for _ in range(3))
+    t2 = min(run(K2) for _ in range(3))
+    dt = (t2 - t1) / (K2 - K1)
+    note(f"{name:40s} {dt * 1e3:8.2f} ms (slope {K1}->{K2}, min of 3)")
     return dt
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def integrate_phase(config, state, tables, depth, color, intr):
+def integrate_phase(config, state, tables, depth, color, intr, s):
     warp = W.WarpFieldState(
         node_positions=tables.nodes,
         node_valid=tables.node_valid,
         rotations=state.rotations,
-        translations=state.translations,
+        translations=state.translations + s * 0.0,
     )
     vox_table = W.SkinTable(
         tables.vox_anchors, tables.vox_weights, tables.vox_valid
     )
     warped_vox = W.deform_points(warp, tables.vox_points, vox_table)
-    return T.integrate(
+    out = T.integrate(
         config.tsdf, state.tsdf, warped_vox, tables.vox_valid, depth, color, intr
     ).tsdf
+    return out.ravel()[0]
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def correspond_phase(config, state, tables, depth, intr):
+def correspond_phase(config, state, tables, depth, intr, s=None):
     warp = W.WarpFieldState(
         node_positions=tables.nodes,
         node_valid=tables.node_valid,
         rotations=state.rotations,
-        translations=state.translations,
+        translations=(
+            state.translations if s is None else state.translations + s * 0.0
+        ),
     )
     point_table = W.SkinTable(
         tables.point_anchors, tables.point_weights, tables.point_valid
@@ -149,56 +171,69 @@ def run_cap(cap):
     intr = seq.intrinsics
 
     results = {}
-    results["integrate"] = timeit(
+    results["integrate"] = chain_time(
         "deform vox + integrate",
-        lambda d, c: integrate_phase(sc, state, tables, d, c, intr),
-        depth, color,
+        lambda s: integrate_phase(sc, state, tables, depth, color, intr, s),
+    )
+    results["correspond"] = chain_time(
+        "deform pts + correspond + node obs",
+        lambda s: correspond_phase(sc, state, tables, depth, intr, s)[0]
+        .ravel()[0],
     )
     targets, corr_valid, node_motion, node_observed = correspond_phase(
         sc, state, tables, depth, intr
-    )
-    results["correspond"] = timeit(
-        "deform pts + correspond + node obs",
-        lambda d: correspond_phase(sc, state, tables, d, intr),
-        depth,
     )
     motion_targets = tables.nodes + node_motion
     motion_conf = node_observed.astype(jnp.float32)
     prob = build_gn_problem(
         tables, targets, corr_valid, motion_targets, motion_conf
     )
-    gn_dense_cfg = GNConfig(iters=6, w_point=1.0, w_arap=2.0, w_motion=1.0)
-    results["solve_dense6"] = timeit(
-        "solve_dense (6 iters)",
-        lambda p: solve_dense(p, gn_dense_cfg).translations,
-        prob,
-    )
-    gn_dense4 = GNConfig(iters=4, w_point=1.0, w_arap=2.0, w_motion=1.0)
-    results["solve_dense4"] = timeit(
-        "solve_dense (4 iters)",
-        lambda p: solve_dense(p, gn_dense4).translations,
-        prob,
-    )
-    cg_cfg = GNConfig(
-        iters=4, cg_iters=16, w_point=1.0, w_arap=2.0, w_motion=1.0,
-        precondition=True,
-    )
-    results["solve_cg_pre_4x16"] = timeit(
-        "solve matrix-free PCG (4 GN x 16 CG)",
-        lambda p: solve(p, cg_cfg).translations,
-        prob,
+
+    def solver_step(cfg_s):
+        def step(s):
+            p = prob._replace(motion_targets=prob.motion_targets + s * 0.0)
+            return solve_dense(p, cfg_s).translations.ravel()[0]
+
+        return step
+
+    for name, cfg_s in (
+        ("solve_dense6_chol", GNConfig(iters=6, w_point=1.0, w_arap=2.0,
+                                       w_motion=1.0)),
+        ("solve_dense4_chol", GNConfig(iters=4, w_point=1.0, w_arap=2.0,
+                                       w_motion=1.0)),
+        ("solve_dense4_schur", GNConfig(iters=4, w_point=1.0, w_arap=2.0,
+                                        w_motion=1.0,
+                                        linear_solver="schur")),
+    ):
+        results[name] = chain_time(f"{name}", solver_step(cfg_s))
+
+    def mf_step(s):
+        p = prob._replace(motion_targets=prob.motion_targets + s * 0.0)
+        return solve(
+            p,
+            GNConfig(iters=4, cg_iters=16, w_point=1.0, w_arap=2.0,
+                     w_motion=1.0, precondition=True),
+        ).translations.ravel()[0]
+
+    results["solve_cg_pre_4x16"] = chain_time(
+        "solve matrix-free PCG (4 GN x 16 CG)", mf_step
     )
 
-    # full step last: it DONATES the state buffers, so thread the state
-    st = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
-    st, info = fusion.register_frame_fused(sc, st, tables, frame)  # compile
-    jax.block_until_ready(info)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        st, info = fusion.register_frame_fused(sc, st, tables, frame)
-    jax.block_until_ready(st.tsdf.tsdf)
-    dt = (time.perf_counter() - t0) / REPS
-    note(f"{'full step (gn_dense)':40s} {dt * 1e3:8.2f} ms")
+    # full step: thread the (donated) state through the chain
+    def full_run(k):
+        st = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+        t0 = time.perf_counter()
+        info = None
+        for _ in range(k):
+            st, info = fusion.register_frame_fused(sc, st, tables, frame)
+        float(info[0])
+        return time.perf_counter() - t0
+
+    full_run(1)  # compile + fetch
+    t1 = min(full_run(K1) for _ in range(3))
+    t2 = min(full_run(K2) for _ in range(3))
+    dt = (t2 - t1) / (K2 - K1)
+    note(f"{'full step (gn_dense 6 chol)':40s} {dt * 1e3:8.2f} ms")
     results["full_step_gn_dense"] = dt
     return results
 
@@ -206,7 +241,7 @@ def run_cap(cap):
 def main():
     note(f"devices: {jax.devices()}")
     all_results = {}
-    for cap in (128, 512):
+    for cap in CAPS:
         all_results[cap] = run_cap(cap)
     note("===== summary (ms) =====")
     for cap, res in all_results.items():

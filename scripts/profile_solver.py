@@ -64,6 +64,11 @@ def main():
         cfg = GNConfig(iters=ITERS, w_point=1.0, w_arap=2.0, w_motion=1.0,
                        linear_solver="cg")
         fn = lambda p: solve_dense(p, cfg)
+    elif SOLVER == "gn_dense_schur":
+        cfg = GNConfig(iters=ITERS, w_point=1.0, w_arap=2.0, w_motion=1.0,
+                       linear_solver="schur",
+                       schur_leaf=int(os.environ.get("PROF_LEAF", "96")))
+        fn = lambda p: solve_dense(p, cfg)
     else:
         cfg = GNConfig(iters=ITERS, cg_iters=16, w_point=1.0, w_arap=2.0,
                        w_motion=1.0, precondition=True)

@@ -30,14 +30,36 @@ import time
 import numpy as np
 
 
-def random_rotation(rng):
-    """Uniform random SO(3) (QR of a gaussian with det fix)."""
-    A = rng.randn(3, 3)
-    Q, R = np.linalg.qr(A)
-    Q = Q * np.sign(np.diag(R))
-    if np.linalg.det(Q) < 0:
-        Q[:, 0] = -Q[:, 0]
-    return Q.astype(np.float32)
+def random_rotation(rng, max_angle: float = np.pi):
+    """Random rotation with angle ~ U(0, max_angle) about a random axis.
+
+    Full SO(3) is NOT the fusion loop's regime — the matcher registers
+    the deformed model against the *next* frame's depth, so inter-frame
+    rotations are bounded; training with bounded angles (ramped by the
+    curriculum) matches deployment and actually converges."""
+    axis = rng.randn(3).astype(np.float32)
+    axis /= np.linalg.norm(axis) + 1e-9
+    ang = rng.uniform(0, max_angle)
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+         [-axis[1], axis[0], 0]], np.float32)
+    return (np.eye(3, dtype=np.float32) + np.sin(ang) * K
+            + (1 - np.cos(ang)) * (K @ K))
+
+
+def surface_cloud(rng, n):
+    """Points on a random smooth closed surface (radially-modulated
+    sphere) — surface-like local neighborhoods, matching what KPConv
+    sees in deployment (TSDF mesh vertices / depth backprojections),
+    unlike volumetric gaussian noise."""
+    v = rng.randn(n, 3).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
+    r = np.full(n, 0.35, np.float32)
+    for _ in range(3):
+        k = rng.randn(3).astype(np.float32) * rng.uniform(1.0, 4.0)
+        r += (0.1 * rng.rand() * np.sin(v @ k + rng.uniform(0, 2 * np.pi))
+              ).astype(np.float32)
+    return v * r[:, None]
 
 
 def smooth_warp(rng, pts, amplitude=0.04, n_waves=3):
@@ -53,13 +75,15 @@ def smooth_warp(rng, pts, amplitude=0.04, n_waves=3):
 
 
 def synthetic_pair(rng, n=192, cap=256, nonrigid=True, overlap=0.8,
-                   noise=0.005):
-    """Pair with known correspondences: src -> smooth warp -> rigid ->
-    noise; a random half-space of the target is dropped (partial
-    overlap) and replaced with distractor points."""
-    src = rng.randn(n, 3).astype(np.float32) * 0.4
-    warped = smooth_warp(rng, src) if nonrigid else src
-    R = random_rotation(rng)
+                   noise=0.005, max_angle=np.pi / 3,
+                   warp_amplitude=0.04):
+    """Pair with known correspondences: smooth-surface cloud -> smooth
+    warp -> bounded rigid -> noise; a random half-space of the target is
+    dropped (partial overlap) and replaced with distractor points."""
+    src = surface_cloud(rng, n)
+    warped = (smooth_warp(rng, src, amplitude=warp_amplitude)
+              if nonrigid else src)
+    R = random_rotation(rng, max_angle)
     t = rng.randn(3).astype(np.float32) * 0.1
     tgt = (warped @ R.T + t + rng.randn(n, 3) * noise).astype(np.float32)
 
@@ -109,6 +133,12 @@ def main():
     ap.add_argument("--eval_every", type=int, default=200)
     ap.add_argument("--save_every", type=int, default=500)
     ap.add_argument("--rigid_only", action="store_true")
+    ap.add_argument("--max_angle_deg", type=float, default=60.0,
+                    help="max rigid rotation of synthetic pairs (the "
+                         "fusion loop sees bounded inter-frame motion)")
+    ap.add_argument("--full_depth", action="store_true",
+                    help="reference-depth KPFCN (3 strided stages x2 "
+                         "resnetb + decoder; kpconv.full_depth_config)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -126,10 +156,10 @@ def main():
     from occlusionfusion_tpu.models.deform_loss import focal_correspondence_loss
     from occlusionfusion_tpu.ops.knn import knn_lax
 
+    pyramid = K.PyramidConfig(level_sizes=(256, 96, 48, 24), first_voxel=0.06)
     cfg = LepardConfig(
-        kpfcn=K.KPFCNConfig(
-            pyramid=K.PyramidConfig(level_sizes=(256, 96, 48, 24), first_voxel=0.06)
-        )
+        kpfcn=K.full_depth_config(pyramid=pyramid) if args.full_depth
+        else K.KPFCNConfig(pyramid=pyramid)
     )
     params = init_lepard_params(jax.random.PRNGKey(args.seed), cfg)
     warmup = min(args.warmup, max(args.steps // 5, 1))
@@ -188,14 +218,23 @@ def main():
         inlier = jnp.sum(match_hit & m.match_valid) / n_match
         return acc, inlier, jnp.sum(m.match_valid)
 
-    def batch_from(rng):
+    max_angle = np.deg2rad(args.max_angle_deg)
+
+    def batch_from(rng, frac=1.0):
         if dataset is not None:
             s = dataset[rng.randint(len(dataset))]
             return tuple(jnp.asarray(s[k]) for k in (
                 "source", "source_mask", "target", "target_mask",
                 "corr_src", "corr_tgt", "corr_mask"))
+        # curriculum: rotation magnitude and warp amplitude ramp up over
+        # the first half of training
+        ramp = min(1.0, frac * 2.0)
         return tuple(jnp.asarray(x) for x in synthetic_pair(
-            rng, nonrigid=not args.rigid_only))
+            rng, nonrigid=not args.rigid_only,
+            max_angle=np.deg2rad(10.0) + ramp * max(
+                max_angle - np.deg2rad(10.0), 0.0),
+            warp_amplitude=0.01 + 0.03 * ramp,
+        ))
 
     rng = np.random.RandomState(args.seed)
     val_rng = np.random.RandomState(10_000 + args.seed)
@@ -204,7 +243,8 @@ def main():
     t0 = time.perf_counter()
     loss = None
     for step in range(args.steps):
-        params, opt_state, loss = train_step(params, opt_state, *batch_from(rng))
+        params, opt_state, loss = train_step(
+            params, opt_state, *batch_from(rng, step / max(args.steps, 1)))
         if step % args.eval_every == 0 or step == args.steps - 1:
             accs, inls, nms = [], [], []
             for vb in val_batches:

@@ -115,6 +115,44 @@ class TestFlowTraining:
         assert float(jnp.max(jnp.abs(after - mask_before))) > 0
 
 
+class TestFlowCheckpointRoundtrip:
+    def test_npz_roundtrip_reproduces_forward(self, tmp_path):
+        """save_pytree/load_params turn lists into digit-key dicts; the
+        flow stack must normalize them (run_fusion --flow_weights path)."""
+        from occlusionfusion_tpu.models.checkpoint import normalize_indexed
+        from occlusionfusion_tpu.models.pwcnet import (
+            init_masknet_params,
+            init_pwcnet_params,
+            masknet_forward,
+            pwcnet_forward,
+        )
+        from occlusionfusion_tpu.utils.snapshot import load_params, save_pytree
+
+        params = {
+            "pwc": init_pwcnet_params(jax.random.PRNGKey(0)),
+            "mask": init_masknet_params(jax.random.PRNGKey(1)),
+        }
+        path = str(tmp_path / "flow.npz")
+        save_pytree(path, params)
+        loaded = load_params(path)
+        # loaded lists come back as digit-key dicts...
+        assert isinstance(loaded["pwc"]["extractor"], dict)
+        # ...and normalize_indexed restores lists / int keys
+        norm = normalize_indexed(loaded)
+        assert isinstance(norm["pwc"]["extractor"], list)
+        assert 2 in norm["pwc"]["decoders"]
+
+        rng = np.random.RandomState(0)
+        im = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+        f0, feat0 = pwcnet_forward(params["pwc"], im, im)
+        f1, feat1 = pwcnet_forward(loaded["pwc"], im, im)
+        np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-6)
+        src6 = jnp.zeros((1, 64, 64, 6))
+        m0 = masknet_forward(params["mask"], feat0, src6, src6)
+        m1 = masknet_forward(loaded["mask"], feat1, src6, src6)
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-6)
+
+
 class TestMaskGatedFlowCorrespondences:
     def test_weights_returned_and_gated(self):
         from occlusionfusion_tpu.fusion.flow_correspondence import (

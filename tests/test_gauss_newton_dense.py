@@ -82,3 +82,40 @@ class TestDenseGN:
         res = solve_dense(problem, GNConfig(iters=6, linear_solver="cg"))
         err = jnp.linalg.norm(res.warped_points - target, axis=1)
         assert float(jnp.mean(err)) < 1.5e-3
+
+    def test_schur_linear_solver_matches_cholesky(self):
+        problem, target, _ = build_problem()
+        res_chol = solve_dense(problem, GNConfig(iters=6))
+        res_s = solve_dense(
+            problem, GNConfig(iters=6, linear_solver="schur", schur_leaf=48)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_s.translations),
+            np.asarray(res_chol.translations),
+            atol=2e-4,
+        )
+        err = jnp.linalg.norm(res_s.warped_points - target, axis=1)
+        assert float(jnp.mean(err)) < 1e-3
+
+
+class TestSchurInverse:
+    def test_inverse_of_random_spd(self):
+        from occlusionfusion_tpu.ops.blocksolve import spd_schur_inverse
+
+        rng = np.random.RandomState(0)
+        for n, leaf in ((60, 24), (300, 96), (768, 96)):
+            J = rng.randn(2 * n, n).astype(np.float32)
+            M = J.T @ J / n + 0.1 * np.eye(n, dtype=np.float32)
+            Minv = np.asarray(spd_schur_inverse(jnp.asarray(M), leaf=leaf))
+            err = np.abs(Minv @ M - np.eye(n)).max()
+            assert err < 5e-3, (n, err)
+
+    def test_nonpower_of_two_and_leaf_passthrough(self):
+        from occlusionfusion_tpu.ops.blocksolve import spd_schur_inverse
+
+        rng = np.random.RandomState(1)
+        n = 90  # not a multiple of the 6-dof split rounding
+        J = rng.randn(2 * n, n).astype(np.float32)
+        M = J.T @ J / n + 0.1 * np.eye(n, dtype=np.float32)
+        Minv = np.asarray(spd_schur_inverse(jnp.asarray(M), leaf=13))
+        assert np.abs(Minv @ M - np.eye(n)).max() < 5e-3
