@@ -83,6 +83,7 @@ def bench_fusion():
         iters=int(os.environ.get("BENCH_GN_ITERS", "6")),
         w_point=1.0, w_arap=2.0, w_motion=0.0,
         linear_solver=os.environ.get("BENCH_LINSOLVE", "cholesky"),
+        normal_matrix_precision=os.environ.get("BENCH_APREC", "highest"),
     )
     cfg = FusionConfig(
         vol_dim=(64, 64, 64), voxel_size=0.008, node_coverage=0.03,

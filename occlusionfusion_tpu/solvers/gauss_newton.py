@@ -55,6 +55,12 @@ class GNConfig(NamedTuple):
     linear_solver: str = "cholesky"
     dense_cg_iters: int = 24
     schur_leaf: int = 96
+    # precision of the J^T J contraction in the dense assembly (the
+    # heaviest MXU work per GN iteration). The curvature matrix only
+    # steers the step direction — LM damping + the exact residual/
+    # gradient keep GN convergent with a bf16 A ("default"), at ~6x
+    # fewer MXU passes than "highest". b = J^T r stays "highest".
+    normal_matrix_precision: str = "highest"
 
 
 class GNProblem(NamedTuple):

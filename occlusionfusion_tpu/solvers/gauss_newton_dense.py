@@ -89,7 +89,9 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
     J_pt = jnp.einsum(
         "pkac,pkn->panc", J, onehot, precision="highest"
     ).reshape(3 * P, 6 * n)
-    A = jnp.einsum("ra,rb->ab", J_pt, J_pt, precision="highest")
+    A = jnp.einsum(
+        "ra,rb->ab", J_pt, J_pt, precision=config.normal_matrix_precision
+    )
     b = jnp.einsum(
         "ra,r->a", J_pt, r_pt.reshape(-1), precision="highest"
     )
@@ -134,7 +136,10 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
         jnp.einsum("neac,nem->neamc", Ji, onehot_i, precision="highest")
         + jnp.einsum("neac,nem->neamc", Jj, onehot_j, precision="highest")
     ).reshape(n * E_k * 3, 6 * n)
-    A = A + jnp.einsum("ra,rb->ab", J_arap, J_arap, precision="highest")
+    A = A + jnp.einsum(
+        "ra,rb->ab", J_arap, J_arap,
+        precision=config.normal_matrix_precision,
+    )
     b = b + jnp.einsum(
         "ra,r->a", J_arap, r_arap.reshape(-1), precision="highest"
     )

@@ -25,8 +25,12 @@ import time
 import numpy as np
 
 
-def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0):
-    """Write a synthetic deforming blob clip (sphere with a moving bulge)."""
+def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0,
+                    rotate_deg=0.0):
+    """Write a synthetic deforming blob clip (sphere with a moving bulge;
+    optional in-plane rotation of ``rotate_deg`` per frame — tangential
+    motion that projective association is blind to, the regime the
+    learned matcher exists for)."""
     from occlusionfusion_tpu.data.deformingthings4d import save_anime
 
     rng = np.random.RandomState(seed)
@@ -43,9 +47,16 @@ def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0):
             [np.cos(2 * np.pi * phase), np.sin(2 * np.pi * phase), 0.0]
         )
         w = np.maximum(v @ bulge_dir, 0.0) ** 2
-        offsets.append(
-            (drift + 0.03 * w[:, None] * v * phase).astype(np.float32)
-        )
+        deformed = verts + (
+            drift + 0.03 * w[:, None] * v * phase
+        ).astype(np.float32)
+        if rotate_deg:
+            a = np.deg2rad(rotate_deg) * f
+            Rz = np.asarray(
+                [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+                 [0, 0, 1]], np.float32)
+            deformed = deformed @ Rz.T
+        offsets.append((deformed - verts).astype(np.float32))
     save_anime(path, verts, faces, np.stack(offsets))
     return path
 
@@ -57,6 +68,15 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--solver", default="gn_dense")
     ap.add_argument("--use_motion_model", action="store_true")
+    ap.add_argument("--rotate_deg", type=float, default=0.0,
+                    help="synthetic clip: in-plane rotation per frame "
+                    "(tangential motion, projective-blind)")
+    ap.add_argument("--lepard_weights", default=None,
+                    help="trained matcher checkpoint; runs the stepwise "
+                    "loop with learned scene flow (use_lepard)")
+    ap.add_argument("--stepwise", action="store_true",
+                    help="use the stepwise register_frame loop instead "
+                    "of the fused path (required for --lepard_weights)")
     ap.add_argument("--out", default=None, help="write metrics JSON here")
     ap.add_argument(
         "--trajectory", default=None,
@@ -91,7 +111,10 @@ def main():
 
     path = args.anime
     if args.synthetic or (path is None and args.gt is None):
-        path = synthetic_anime("/tmp/synthetic_clip.anime", args.frames + 1)
+        path = synthetic_anime(
+            "/tmp/synthetic_clip.anime", args.frames + 1,
+            rotate_deg=args.rotate_deg,
+        )
 
     intr = Intrinsics(
         np.float32(300.0), np.float32(300.0), np.float32(80.0), np.float32(80.0)
@@ -128,6 +151,16 @@ def main():
         )
 
         motion_params = load_motion_complete_params()
+    lepard_params = lepard_config = None
+    if args.lepard_weights:
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_lepard_checkpoint,
+        )
+
+        lepard_params, lepard_config = load_lepard_checkpoint(
+            args.lepard_weights
+        )
+        args.stepwise = True  # learned scene flow runs in the stepwise loop
     cfg = FusionConfig(
         vol_dim=(64, 64, 64),
         voxel_size=0.006,
@@ -142,38 +175,53 @@ def main():
         ),
         use_motion_model=args.use_motion_model,
         solver=args.solver,
+        use_lepard=lepard_params is not None,
     )
-    fusion = DynamicFusion(seq, cfg, motion_params=motion_params)
+    fusion = DynamicFusion(seq, cfg, motion_params=motion_params,
+                           lepard_params=lepard_params,
+                           lepard_config=lepard_config)
     t0 = time.perf_counter()
     fusion.initialize(seq.load(0))
-    sc, state, tables = fusion.build_fused(motion_params)
+    if args.stepwise:
+        nodes_j = fusion.warp.node_positions
+        nvalid_j = fusion.node_valid
+    else:
+        sc, state, tables = fusion.build_fused(motion_params)
+        nodes_j = tables.nodes
+        nvalid_j = tables.node_valid
 
     # track the GT vertices through the estimated warp field each frame
     gt0 = jnp.asarray(gt[0])
     anchors, weights, reach = skinning_weights(
-        gt0, tables.nodes, tables.node_valid, cfg.node_coverage, k=4
+        gt0, nodes_j, nvalid_j, cfg.node_coverage, k=4
     )
     table = W.SkinTable(anchors, weights, reach)
 
     per_frame_epe = []
     tracked = [np.asarray(gt[0])]
-    nodes_np = np.asarray(tables.nodes)
-    nvalid_np = np.asarray(tables.node_valid)
+    nodes_np = np.asarray(nodes_j)
+    nvalid_np = np.asarray(nvalid_j)
     est_ids, est_R, est_t = [0], [np.eye(3, dtype=np.float32)], [
         np.zeros(3, np.float32)
     ]
     for i in range(1, args.frames):
-        state, info = fusion.register_frame_fused(
-            sc, state, tables, seq.load(i), motion_params
-        )
-        warp = W.WarpFieldState(
-            tables.nodes, tables.node_valid, state.rotations, state.translations
-        )
+        if args.stepwise:
+            fusion.register_frame(seq.load(i))
+            warp = fusion.warp
+            translations = warp.translations
+        else:
+            state, info = fusion.register_frame_fused(
+                sc, state, tables, seq.load(i), motion_params
+            )
+            warp = W.WarpFieldState(
+                nodes_j, nvalid_j, state.rotations, state.translations
+            )
+            translations = state.translations
         pred = W.deform_points(warp, gt0, table)
         tracked.append(np.asarray(pred))
         # estimated global rigid pose: Kabsch canonical -> deformed nodes
         # (pivoted transforms: deformed node = g + t)
-        deformed_nodes = nodes_np + np.asarray(state.translations)
+        deformed_nodes = nodes_np + np.asarray(translations)
         Re, te = rigid_pose_np(nodes_np[nvalid_np], deformed_nodes[nvalid_np])
         est_ids.append(i)
         est_R.append(Re)

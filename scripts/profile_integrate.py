@@ -153,6 +153,41 @@ def run(vol, hw, n_nodes=512):
     )
     note(f"{'  -> per frame in the scan':44s} {dt / K * 1e3:8.3f} ms")
 
+    # the REAL fused pattern: the warp changes per frame, so the voxel
+    # deform cannot be hoisted out of the scan body as loop-invariant
+    transK = jnp.asarray(
+        (rngK.rand(K, n_nodes, 3) * 0.01).astype(np.float32))
+
+    @jax.jit
+    def chunk_step_varying(st):
+        def body(s, frame):
+            d, c, t = frame
+            wp = warp._replace(translations=t)
+            warped = W.deform_points(wp, vox, table)
+            return T.integrate(cfg, s, warped, table.valid, d, c, intr), None
+        st, _ = jax.lax.scan(body, st, (depthsK, colorsK, transK))
+        return st
+
+    dt = slope_time(
+        f"varying-warp deform+integrate x{K} (scan)", chunk_step_varying,
+        lambda: jax.tree.map(lambda x: jnp.array(x, copy=True), state),
+        lambda st: float(st.tsdf[0, 0, 0]),
+    )
+    note(f"{'  -> per frame in the scan':44s} {dt / K * 1e3:8.3f} ms")
+
+    # Pallas one-hot-matmul LBS vs the XLA gather path (honest numbers;
+    # the 1.46/3.16 ms figures in ops/lbs.py predate slope timing)
+    from occlusionfusion_tpu.ops.lbs import lbs_warp_pallas
+
+    @jax.jit
+    def lbs_pallas_step(pts):
+        return lbs_warp_pallas(
+            pts, table.anchors, table.weights, table.valid, warp
+        )
+
+    slope_time("lbs deform (pallas one-hot matmul)", lbs_pallas_step,
+               lambda: vox, lambda c: float(c[0, 0]))
+
 
 def main():
     note(f"devices: {jax.devices()}")

@@ -139,6 +139,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="checkpoints/flow.npz")
     ap.add_argument("--log_every", type=int, default=25)
+    ap.add_argument("--save_every", type=int, default=500)
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint npz to continue from (params only)")
     args = ap.parse_args()
 
     import jax
@@ -159,6 +162,15 @@ def main():
     params = {"pwc": init_pwcnet_params(key)}
     if args.with_mask:
         params["mask"] = init_masknet_params(jax.random.PRNGKey(args.seed + 1))
+    if args.resume:
+        from occlusionfusion_tpu.models.checkpoint import normalize_indexed
+        from occlusionfusion_tpu.utils.snapshot import load_params
+
+        loaded = normalize_indexed(load_params(args.resume))
+        params["pwc"] = loaded["pwc"]
+        if args.with_mask and "mask" in loaded:
+            params["mask"] = loaded["mask"]
+        print(f"resumed params from {args.resume}")
 
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
@@ -179,6 +191,8 @@ def main():
                 f"({time.time() - t0:.0f}s)",
                 flush=True,
             )
+        if args.save_every and i and i % args.save_every == 0:
+            save_pytree(args.out, params)
 
     save_pytree(args.out, params)
     print(f"saved {args.out}")

@@ -140,6 +140,9 @@ def main():
                     help="reference-depth KPFCN (3 strided stages x2 "
                          "resnetb + decoder; kpconv.full_depth_config)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint npz to continue from (params only; "
+                         "the config side-car must match --full_depth)")
     args = ap.parse_args()
 
     import jax
@@ -162,6 +165,13 @@ def main():
         else K.KPFCNConfig(pyramid=pyramid)
     )
     params = init_lepard_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.resume:
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_lepard_checkpoint,
+        )
+
+        params, cfg = load_lepard_checkpoint(args.resume)
+        print(f"resumed params from {args.resume}")
     warmup = min(args.warmup, max(args.steps // 5, 1))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=args.lr, warmup_steps=warmup,

@@ -83,6 +83,19 @@ class TestDenseGN:
         err = jnp.linalg.norm(res.warped_points - target, axis=1)
         assert float(jnp.mean(err)) < 1.5e-3
 
+    def test_bf16_normal_matrix_still_converges(self):
+        """A in bf16 ('default' MXU precision) only perturbs the step
+        direction; damped GN still reaches the solution."""
+        problem, target, _ = build_problem()
+        res = solve_dense(
+            problem,
+            GNConfig(iters=8, normal_matrix_precision="default"),
+        )
+        err = jnp.linalg.norm(res.warped_points - target, axis=1)
+        assert float(jnp.mean(err)) < 1e-3
+        hist = np.asarray(res.residual_history)
+        assert hist[-1] < hist[0] * 1e-3
+
     def test_schur_linear_solver_matches_cholesky(self):
         problem, target, _ = build_problem()
         res_chol = solve_dense(problem, GNConfig(iters=6))
