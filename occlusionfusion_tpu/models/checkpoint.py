@@ -160,6 +160,7 @@ def load_lepard_checkpoint(npz_path: str):
             blocks_per_stage=kp["blocks_per_stage"],
             num_stages=kp.get("num_stages", 2),
             coarse_upsamples=kp.get("coarse_upsamples", 0),
+            kp_layout=kp.get("kp_layout", "fibonacci"),
             pyramid=K.PyramidConfig(
                 level_sizes=tuple(pyr["level_sizes"]),
                 first_voxel=pyr["first_voxel"],

@@ -16,15 +16,17 @@ TPU-first re-design decisions:
     (replaces the C++ barycenter subsampler, N5);
   * KPConv itself is gather + one einsum over (neighbors x kernel points
     x channels) — lands on the MXU as a batched matmul;
-  * kernel point dispositions use a deterministic Fibonacci-sphere layout
-    + center point instead of the reference's Lloyd-optimized layout
-    (``lepard/kernels/kernel_points.py:66,388``) — geometry differs
-    slightly; weights are trained from scratch either way (the fork ships
-    no Lepard checkpoint, ``.MISSING_LARGE_BLOBS``).
+  * kernel point dispositions are selectable (``KPFCNConfig.kp_layout``):
+    a deterministic Fibonacci-sphere layout (default; what the shipped
+    trained checkpoint uses) or the reference's Lloyd-relaxed layout
+    (``lepard/kernels/kernel_points.py:66,388``); weights are trained
+    from scratch either way (the fork ships no Lepard checkpoint,
+    ``.MISSING_LARGE_BLOBS``).
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Sequence
 
@@ -38,8 +40,18 @@ from occlusionfusion_tpu.ops.knn import knn_lax
 # kernel point dispositions
 
 
-def kernel_points(num_points: int = 15, radius: float = 1.0) -> jnp.ndarray:
-    """[K, 3] deterministic kernel disposition: center + Fibonacci shell."""
+def kernel_points(
+    num_points: int = 15, radius: float = 1.0, layout: str = "fibonacci"
+) -> jnp.ndarray:
+    """[K, 3] deterministic kernel disposition, first point at the center.
+
+    ``layout="fibonacci"``: center + Fibonacci-sphere shell (cheap,
+    closed-form). ``layout="lloyd"``: spherical Lloyd relaxation over the
+    unit ball — the reference's optimized dispositions
+    (``lepard/kernels/kernel_points.py:66`` ``spherical_Lloyd``), computed
+    once in numpy and cached (deterministic seed)."""
+    if layout == "lloyd":
+        return jnp.asarray(_lloyd_dispositions(num_points)) * radius
     n_shell = num_points - 1
     i = jnp.arange(n_shell, dtype=jnp.float32)
     golden = (1 + 5**0.5) / 2
@@ -49,6 +61,30 @@ def kernel_points(num_points: int = 15, radius: float = 1.0) -> jnp.ndarray:
     shell = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), z], axis=-1)
     pts = jnp.concatenate([jnp.zeros((1, 3)), shell * 0.66], axis=0)
     return pts * radius
+
+
+@functools.lru_cache(maxsize=None)
+def _lloyd_dispositions(num_points: int):
+    """Lloyd (centroidal Voronoi) relaxation of ``num_points`` sites over
+    the unit ball, site 0 pinned at the origin — numpy mirror of the
+    reference's ``spherical_Lloyd`` (``lepard/kernels/kernel_points.py:66``,
+    fixed='center'). Deterministic; runs once per K and is cached."""
+    import numpy as np
+
+    rng = np.random.RandomState(1337)
+    v = rng.randn(20000, 3)
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+    cloud = (v * rng.rand(20000, 1) ** (1.0 / 3.0)).astype(np.float64)
+    pts = cloud[rng.choice(len(cloud), num_points, replace=False)].copy()
+    pts[0] = 0.0
+    for _ in range(60):
+        d2 = ((cloud[:, None] - pts[None]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for k in range(1, num_points):
+            m = assign == k
+            if m.any():
+                pts[k] = cloud[m].mean(0)
+    return pts.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +337,10 @@ class KPFCNConfig(NamedTuple):
     # coarse_upsamples (reference backbone.py:120-142 decodes 2 blocks
     # back to level -2)
     coarse_upsamples: int = 0
+    # kernel disposition: "fibonacci" (closed-form shell; the layout the
+    # shipped trained checkpoint uses) or "lloyd" (reference-style
+    # Lloyd-relaxed dispositions, lepard/kernels/kernel_points.py:66)
+    kp_layout: str = "fibonacci"
     pyramid: PyramidConfig = PyramidConfig()
 
 
@@ -379,7 +419,7 @@ def kpfcn_encode(
     (features [P_coarse, out_dim], coarse level) — with the defaults the
     coarse level is pyramid level 2, the reference's level -2."""
     kp_sigma = config.pyramid.first_voxel * 1.2  # KP_extent-ish
-    kp = kernel_points(config.num_kernel_points, kp_sigma)
+    kp = kernel_points(config.num_kernel_points, kp_sigma, config.kp_layout)
     l0 = levels[0]
     feats = jnp.ones((l0.points.shape[0], config.in_dim))
     x = kpconv(
@@ -394,7 +434,9 @@ def kpfcn_encode(
         level = levels[l]
         nxt = levels[l + 1]
         p = enc[l]
-        kp_l = kernel_points(config.num_kernel_points, voxel * 1.2)
+        kp_l = kernel_points(
+            config.num_kernel_points, voxel * 1.2, config.kp_layout
+        )
         for rp in _as_blocks(p["res"]):
             x = resnetb_block(
                 rp, x, level, level, level.neighbors, kp_l, voxel * 1.2
@@ -403,7 +445,9 @@ def kpfcn_encode(
         x = resnetb_block(p["strided"], x, level, nxt, level.pool, kp_l, voxel * 1.2)
         voxel *= 2
     deep = levels[config.num_stages]
-    kp_l = kernel_points(config.num_kernel_points, voxel * 1.2)
+    kp_l = kernel_points(
+        config.num_kernel_points, voxel * 1.2, config.kp_layout
+    )
     x = resnetb_block(
         params["final_res"], x, deep, deep, deep.neighbors, kp_l, voxel * 1.2
     )

@@ -52,9 +52,14 @@ class GNConfig(NamedTuple):
     # "schur" — recursive block-Schur SPD inverse (ops/blocksolve.py):
     #         log-depth chain of large matmuls instead of Cholesky's
     #         sequential panels; ~6x FLOPs, far lower latency on TPU
+    # "ns" — Newton-Schulz inverse seeded with the exact block-Jacobi
+    #         inverse (ops/blocksolve.py): one batched small inv +
+    #         2*ns_iters full-size matmuls, the shortest dependent chain
     linear_solver: str = "cholesky"
     dense_cg_iters: int = 24
     schur_leaf: int = 96
+    ns_iters: int = 12
+    ns_block: int = 96
     # precision of the J^T J contraction in the dense assembly (the
     # heaviest MXU work per GN iteration). The curvature matrix only
     # steers the step direction — LM damping + the exact residual/

@@ -37,29 +37,20 @@ from occlusionfusion_tpu.solvers.gauss_newton import (
 )
 
 
-def _scatter_blocks(A, idx_i, idx_j, blocks, n):
-    """A [N, N, 6, 6] += blocks at (idx_i, idx_j); flat segment-sum."""
-    flat = idx_i * n + idx_j
-    add = jax.ops.segment_sum(
-        blocks.reshape(-1, 36), flat.reshape(-1), num_segments=n * n
-    )
-    return A + add.reshape(n, n, 6, 6)
-
-
 def _assemble(problem: GNProblem, config: GNConfig, R, t):
-    """Build (A [N, N, 6, 6], b [N, 6], sq_residual) at the current
-    estimate.
+    """Build (M [6N, 6N], b [6N] = J^T r, sq_residual) at the current
+    estimate. Column layout is node-major with the 6 dofs inner.
 
     MXU formulation: the sparse per-residual jacobian blocks are
-    scattered into a DENSE row-major jacobian with one-hot anchor
-    matmuls (iota compare -> einsum), and A = J^T J / b = J^T r are
-    single large matmuls. This replaces the previous 7 segment-sums
-    over n^2 segments per GN iteration (gather/scatter lowering was the
-    dominant solver cost on TPU below the 256-node cap)."""
+    scattered into ONE dense row-stacked jacobian (point + ARAP + motion
+    rows) with one-hot anchor matmuls (iota compare -> einsum), and
+    M = J^T J / b = J^T r are a single pair of large matmuls — the
+    shortest dependent-op chain per GN iteration (each extra einsum was
+    ~0.3-0.5 ms of relay/HBM latency at the 128-node cap)."""
     n = problem.nodes.shape[0]
     P, K = problem.point_anchors.shape
 
-    # ---- point term
+    # ---- point rows [3P, 6N]
     x = problem.source_points
     g = problem.nodes[problem.point_anchors]  # [P, K, 3]
     Rk = R[problem.point_anchors]  # [P, K, 3, 3]
@@ -89,15 +80,8 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
     J_pt = jnp.einsum(
         "pkac,pkn->panc", J, onehot, precision="highest"
     ).reshape(3 * P, 6 * n)
-    A = jnp.einsum(
-        "ra,rb->ab", J_pt, J_pt, precision=config.normal_matrix_precision
-    )
-    b = jnp.einsum(
-        "ra,r->a", J_pt, r_pt.reshape(-1), precision="highest"
-    )
-    sq = jnp.sum(r_pt * r_pt)
 
-    # ---- ARAP term
+    # ---- ARAP rows [N*Ke*3, 6N]
     E_k = problem.edges.shape[1]
     e = jnp.maximum(problem.edges, 0)
     g_i = problem.nodes[:, None]
@@ -136,35 +120,31 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
         jnp.einsum("neac,nem->neamc", Ji, onehot_i, precision="highest")
         + jnp.einsum("neac,nem->neamc", Jj, onehot_j, precision="highest")
     ).reshape(n * E_k * 3, 6 * n)
-    A = A + jnp.einsum(
-        "ra,rb->ab", J_arap, J_arap,
-        precision=config.normal_matrix_precision,
-    )
-    b = b + jnp.einsum(
-        "ra,r->a", J_arap, r_arap.reshape(-1), precision="highest"
-    )
-    sq = sq + jnp.sum(r_arap * r_arap)
 
-    A = A.reshape(n, 6, n, 6).transpose(0, 2, 1, 3)  # -> [N, N, 6, 6]
-    b = b.reshape(n, 6)
+    rows = [J_pt, J_arap]
+    residuals = [r_pt.reshape(-1), r_arap.reshape(-1)]
 
-    # ---- motion prior (diagonal translation blocks)
+    # ---- motion-prior rows [3N, 6N] (translation entries only)
     if config.w_motion:
         wm = jnp.sqrt(
             jnp.asarray(config.w_motion, jnp.float32)
         ) * problem.motion_confidence * problem.node_valid
         r_m = wm[:, None] * (problem.nodes + t - problem.motion_targets)
-        diag = jnp.zeros((n, 6, 6))
-        diag = diag.at[:, 3:, 3:].set(
-            jnp.eye(3) * (wm**2)[:, None, None]
-        )
-        A = A + jnp.zeros((n, n, 6, 6)).at[
-            jnp.arange(n), jnp.arange(n)
-        ].set(diag)
-        b = b.at[:, 3:].add(wm[:, None] * r_m)
-        sq = sq + jnp.sum(r_m * r_m)
+        idx = jnp.arange(n)
+        J_m = jnp.zeros((n, 3, n, 6)).at[idx, :, idx, 3:].set(
+            jnp.eye(3) * wm[:, None, None]
+        ).reshape(3 * n, 6 * n)
+        rows.append(J_m)
+        residuals.append(r_m.reshape(-1))
 
-    return A, b, sq
+    J_all = jnp.concatenate(rows, axis=0)
+    r_all = jnp.concatenate(residuals, axis=0)
+    M = jnp.einsum(
+        "ra,rb->ab", J_all, J_all, precision=config.normal_matrix_precision
+    )
+    b = jnp.einsum("ra,r->a", J_all, r_all, precision="highest")
+    sq = jnp.sum(r_all * r_all)
+    return M, b, sq
 
 
 def diag_blocks(problem: GNProblem, config: GNConfig, R, t):
@@ -250,23 +230,20 @@ def solve_dense(
 
     def gn_step(carry, _):
         R, t, ok = carry
-        A, b, sq = _assemble(problem, config, R, t)
-        M = A.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
+        M, b, sq = _assemble(problem, config, R, t)
         # frozen/padded nodes: identity rows/cols, zero rhs
         M = M * free6[:, None] * free6[None, :]
         M = M + jnp.diag(
             jnp.where(free6 > 0, config.lm_damping, 1.0)
         )
-        rhs = -b.reshape(-1) * free6
+        rhs = -b * free6
         if config.linear_solver == "cg":
             # block-Jacobi PCG on the assembled dense system: each
             # iteration is one [6N,6N] MXU matvec — avoids Cholesky's
             # sequential panel chain (latency-bound on TPU; measured
             # 22 ms per 6-iteration solve at the 128 cap)
-            diag = A[jnp.arange(n), jnp.arange(n)]  # [n, 6, 6]
-            diag = diag * free[:, None, None] + jnp.eye(6) * jnp.where(
-                free > 0, config.lm_damping, 1.0
-            )[:, None, None]
+            idx = jnp.arange(n)
+            diag = M.reshape(n, 6, n, 6)[idx, :, idx, :]  # [n, 6, 6]
             inv_diag = jnp.linalg.inv(diag)  # batched 6x6
 
             def prec(v):
@@ -303,6 +280,14 @@ def solve_dense(
             from occlusionfusion_tpu.ops.blocksolve import spd_schur_solve
 
             x = spd_schur_solve(M, rhs, leaf=config.schur_leaf)
+        elif config.linear_solver == "ns":
+            from occlusionfusion_tpu.ops.blocksolve import (
+                newton_schulz_solve,
+            )
+
+            x = newton_schulz_solve(
+                M, rhs, block=config.ns_block, iters=config.ns_iters
+            )
         else:
             chol, low = jax.scipy.linalg.cho_factor(M)
             x = jax.scipy.linalg.cho_solve((chol, low), rhs)

@@ -36,6 +36,15 @@ def main():
     ap.add_argument("--end_frame", type=int, default=0, help="0 = all")
     ap.add_argument("--skip_rate", type=int, default=1)
     ap.add_argument("--nicp_iters", type=int, default=100)
+    ap.add_argument("--solver", default="nicp",
+                    choices=("nicp", "gn_dense"),
+                    help="warp solver: Adam-on-SO(3) N-ICP (reference-"
+                         "faithful budget) or dense Gauss-Newton (~order"
+                         "-of-magnitude faster per solve on TPU)")
+    ap.add_argument("--gn_iters", type=int, default=4)
+    ap.add_argument("--linear_solver", default="cholesky",
+                    choices=("cholesky", "cg", "schur", "ns"),
+                    help="linear solver inside gn_dense")
     ap.add_argument("--max_nodes", type=int, default=512)
     ap.add_argument("--max_points", type=int, default=8192)
     ap.add_argument("--growth_interval", type=int, default=0)
@@ -97,6 +106,15 @@ def main():
         flow_params = ck["pwc"]
         mask_params = ck.get("mask")
 
+    gn = None
+    if args.solver == "gn_dense":
+        from occlusionfusion_tpu.solvers.gauss_newton import GNConfig
+
+        gn = GNConfig(
+            iters=args.gn_iters, w_point=1.0, w_arap=2.0,
+            w_motion=1.0 if motion_params is not None else 0.0,
+            linear_solver=args.linear_solver,
+        )
     config = FusionConfig(
         vol_dim=(args.voxel_dim,) * 3,
         voxel_size=args.voxel_size,
@@ -105,6 +123,8 @@ def main():
         max_points=args.max_points,
         graph=GraphConfig(node_coverage=args.node_coverage),
         nicp=NICPConfig(iters=args.nicp_iters),
+        solver=args.solver,
+        gn=gn,
         use_motion_model=motion_params is not None,
         growth_interval=args.growth_interval,
         keyframe_interval=args.keyframe_interval,

@@ -132,3 +132,54 @@ class TestSchurInverse:
         M = J.T @ J / n + 0.1 * np.eye(n, dtype=np.float32)
         Minv = np.asarray(spd_schur_inverse(jnp.asarray(M), leaf=13))
         assert np.abs(Minv @ M - np.eye(n)).max() < 5e-3
+
+    def test_newton_schulz_inverse_of_random_spd(self):
+        from occlusionfusion_tpu.ops.blocksolve import newton_schulz_inverse
+
+        rng = np.random.RandomState(2)
+        for n, block in ((60, 24), (768, 96), (90, 96)):
+            J = rng.randn(2 * n, n).astype(np.float32)
+            M = J.T @ J / n + 0.1 * np.eye(n, dtype=np.float32)
+            X = np.asarray(
+                newton_schulz_inverse(jnp.asarray(M), block=block, iters=14)
+            )
+            err = np.abs(X @ M - np.eye(n)).max()
+            assert err < 5e-3, (n, err)
+
+
+class TestNewtonSchulzGN:
+    def test_ns_linear_solver_matches_cholesky(self):
+        problem, target, _ = build_problem()
+        res_chol = solve_dense(problem, GNConfig(iters=6))
+        res_ns = solve_dense(
+            problem, GNConfig(iters=6, linear_solver="ns", ns_block=48)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_ns.translations),
+            np.asarray(res_chol.translations),
+            atol=5e-4,
+        )
+        err = jnp.linalg.norm(res_ns.warped_points - target, axis=1)
+        assert float(jnp.mean(err)) < 1e-3
+
+    def test_ns_with_motion_term_and_frozen(self):
+        # exercise the stacked motion rows + frozen-node masking together
+        problem, target, _ = build_problem()
+        n = problem.nodes.shape[0]
+        mask = np.ones(n, bool)
+        mask[: n // 4] = False
+        problem = problem._replace(
+            motion_targets=problem.nodes + 0.01,
+            motion_confidence=jnp.ones(n) * 0.5,
+            solve_node_mask=jnp.asarray(mask),
+        )
+        cfg = GNConfig(iters=6, w_motion=0.5, linear_solver="ns")
+        res = solve_dense(problem, cfg)
+        res_c = solve_dense(problem, cfg._replace(linear_solver="cholesky"))
+        np.testing.assert_allclose(
+            np.asarray(res.translations),
+            np.asarray(res_c.translations),
+            atol=5e-4,
+        )
+        # frozen nodes stay at their initial (identity) transform
+        assert np.abs(np.asarray(res.translations)[~mask]).max() < 1e-7

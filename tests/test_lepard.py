@@ -328,3 +328,45 @@ class TestAttentionOracle:
         hh = ln(p["norm2_scale"], p["norm2_bias"], hh)
         want = x + hh
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
+
+
+class TestKernelDispositions:
+    def test_lloyd_layout_properties(self):
+        pts = np.asarray(K.kernel_points(15, radius=0.1, layout="lloyd"))
+        assert pts.shape == (15, 3)
+        # center point pinned at origin
+        assert np.allclose(pts[0], 0.0)
+        # all inside the influence ball
+        norms = np.linalg.norm(pts, axis=1)
+        assert norms[1:].max() <= 0.1 + 1e-6
+        # deterministic (cached)
+        pts2 = np.asarray(K.kernel_points(15, radius=0.1, layout="lloyd"))
+        assert np.array_equal(pts, pts2)
+        # Lloyd relaxation spreads points: min pairwise distance is a
+        # healthy fraction of the radius (centroidal Voronoi of a ball)
+        d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        d += np.eye(15) * 1e9
+        assert d.min() > 0.025
+
+    def test_kp_layout_threads_through_config(self, tmp_path):
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_lepard_checkpoint,
+            save_lepard_checkpoint,
+        )
+
+        cfg = LepardConfig(kpfcn=K.KPFCNConfig(kp_layout="lloyd"))
+        params = init_lepard_params(jax.random.PRNGKey(0), cfg)
+        path = str(tmp_path / "m.npz")
+        save_lepard_checkpoint(path, params, cfg)
+        _, cfg2 = load_lepard_checkpoint(path)
+        assert cfg2.kpfcn.kp_layout == "lloyd"
+        # old side-cars without the key default to fibonacci
+        import json
+
+        with open(path + ".json") as fh:
+            d = json.load(fh)
+        del d["kpfcn"]["kp_layout"]
+        with open(path + ".json", "w") as fh:
+            json.dump(d, fh)
+        _, cfg3 = load_lepard_checkpoint(path)
+        assert cfg3.kpfcn.kp_layout == "fibonacci"
