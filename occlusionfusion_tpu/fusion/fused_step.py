@@ -75,6 +75,12 @@ class FusedStepConfig(NamedTuple):
     # faster per solve on TPU at equal accuracy; see solvers/)
     solver: str = "nicp"
     gn: "GNConfig" = None  # type: ignore[assignment]
+    # voxel-warp implementation: "auto" = Pallas one-hot-matmul kernel on
+    # TPU, XLA gather path elsewhere. Inside the per-frame scan the warp
+    # varies, so XLA cannot hoist the [V, K] transform gathers — measured
+    # (64^3 vox / 512 nodes, slope+readback) 5.2 ms/frame XLA-gather LBS
+    # vs 3.3 ms Pallas one-hot; whole scan body 6.8 -> 4.5 ms/frame.
+    lbs_impl: str = "auto"
     # motion-completion pyramid padding buckets; must equal
     # level_sizes_for(node cap) so pyramid_ints, the GNN shapes and the
     # carried MotionRunnerState agree (level_sizes[0] == node cap)
@@ -234,7 +240,21 @@ def _fused_register_frame_impl(
     new_warp = warp._replace(
         rotations=result.rotations, translations=result.translations
     )
-    warped_vox = W.deform_points(new_warp, tables.vox_points, vox_table)
+    use_pallas = config.lbs_impl == "pallas" or (
+        config.lbs_impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from occlusionfusion_tpu.ops.lbs import lbs_warp_pallas
+
+        warped_vox = lbs_warp_pallas(
+            tables.vox_points,
+            vox_table.anchors,
+            vox_table.weights,
+            vox_table.valid,
+            new_warp,
+        )
+    else:
+        warped_vox = W.deform_points(new_warp, tables.vox_points, vox_table)
     new_tsdf = T.integrate(
         config.tsdf,
         state.tsdf,

@@ -17,13 +17,14 @@ transform rows.
 Semantics match fusion/warpfield.deform_points: invalid points pass
 through unwarped; weights are the normalized skinning weights.
 
-Measured on a v5e chip (262k points, 512 nodes): XLA twin 1.46 ms,
-this kernel 3.16 ms — XLA's fused gather+einsum is already near
-speed-of-light for this op (the one-hot formulation trades 4-row gathers
-for a 128x larger MXU contraction, and the VPU-side one-hot build
-dominates). The kernel is kept as a validated alternative and as the
-template for ops where XLA's gather path IS the bottleneck; the
-production warp path uses the XLA twin.
+Measured on a v5e chip (262k points, 512 nodes, slope+readback):
+standalone, the XLA gather+einsum twin and this kernel are comparable
+(XLA can hoist/fuse the gathers). Inside the per-frame ``lax.scan`` of
+the fused fusion step the picture inverts: the warp varies per frame,
+XLA cannot hoist the [V, K] transform-row gathers, and the twin costs
+~5.2 ms/frame, while this kernel's gather-free one-hot MXU contraction
+is warp-independent in structure. The production fused step therefore
+dispatches to this kernel on TPU (``fusion/fused_step.py`` lbs_impl).
 """
 
 from __future__ import annotations
@@ -60,6 +61,9 @@ def _lbs_kernel(pts_ref, anchors_ref, weights_ref, valid_ref, T_ref, out_ref,
         T_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # Mosaic lowers only DEFAULT/HIGHEST; DEFAULT (1-pass bf16,
+        # ~2^-8 relative = mm-scale error at metre scale) is too coarse
+        # for geometry, so keep the 6-pass HIGHEST contraction
         precision=jax.lax.Precision.HIGHEST,
     )
     # y = B_R x + B_t
@@ -79,6 +83,8 @@ def lbs_warp_pallas(
     weights: jnp.ndarray,  # [P, K]
     valid: jnp.ndarray,  # [P]
     state: WarpFieldState,
+    # tile=2048 OOMs the 16MB scoped VMEM at 512 nodes (one-hot block +
+    # 6-pass HIGHEST contraction); 1024 fits with headroom
     tile: int = 1024,
 ) -> jnp.ndarray:
     """Warp points through the field; Pallas kernel, MXU inner product."""

@@ -207,6 +207,11 @@ def run_cap(cap):
         ("solve_dense4_bf16A", GNConfig(iters=4, w_point=1.0, w_arap=2.0,
                                         w_motion=1.0,
                                         normal_matrix_precision="default")),
+        ("solve_dense4_ns", GNConfig(iters=4, w_point=1.0, w_arap=2.0,
+                                     w_motion=1.0, linear_solver="ns")),
+        ("solve_dense4_ns_bf16A", GNConfig(iters=4, w_point=1.0, w_arap=2.0,
+                                           w_motion=1.0, linear_solver="ns",
+                                           normal_matrix_precision="default")),
     ):
         results[name] = chain_time(f"{name}", solver_step(cfg_s))
 

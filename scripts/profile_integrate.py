@@ -118,6 +118,51 @@ def run(vol, hw, n_nodes=512):
     slope_time("project + depth/color gather", gather_step,
                lambda: jnp.zeros(3, jnp.float32), lambda c: float(c[0]))
 
+    # gather-width scaling: does the random gather cost scale with bytes
+    # per index or with index count? (decides whether packing color into
+    # one f32 like the reference's b*65536+g*256+r float is worth it)
+    packed_col = (
+        color[..., 0] + color[..., 1] * 256.0 + color[..., 2] * 65536.0
+    )
+    rgbd2 = jnp.stack([depth, packed_col], axis=-1)  # [H, W, 2]
+    rgbd4 = jnp.concatenate([depth[..., None], color], axis=-1)
+
+    def gather_of(img, chans):
+        @jax.jit
+        def step(carry):
+            pts = vox + carry[None, :]
+            z = jnp.maximum(pts[:, 2], 1e-6)
+            px = jnp.clip(jnp.round(pts[:, 0] / z * intr.fx + intr.cx
+                                    ).astype(jnp.int32), 0, hw[1] - 1)
+            py = jnp.clip(jnp.round(pts[:, 1] / z * intr.fy + intr.cy
+                                    ).astype(jnp.int32), 0, hw[0] - 1)
+            g = img[py, px]
+            return carry + jnp.mean(g) * 0.0
+
+        return step
+
+    slope_time("gather 1ch (depth only)", gather_of(depth, 1),
+               lambda: jnp.zeros(3, jnp.float32), lambda c: float(c[0]))
+    slope_time("gather 2ch (depth + packed rgb f32)", gather_of(rgbd2, 2),
+               lambda: jnp.zeros(3, jnp.float32), lambda c: float(c[0]))
+    slope_time("gather 4ch (depth + rgb)", gather_of(rgbd4, 4),
+               lambda: jnp.zeros(3, jnp.float32), lambda c: float(c[0]))
+    flat2 = rgbd2.reshape(-1, 2)
+
+    @jax.jit
+    def gather_flat2(carry):
+        pts = vox + carry[None, :]
+        z = jnp.maximum(pts[:, 2], 1e-6)
+        px = jnp.clip(jnp.round(pts[:, 0] / z * intr.fx + intr.cx
+                                ).astype(jnp.int32), 0, hw[1] - 1)
+        py = jnp.clip(jnp.round(pts[:, 1] / z * intr.fy + intr.cy
+                                ).astype(jnp.int32), 0, hw[0] - 1)
+        g = flat2[py * hw[1] + px]
+        return carry + jnp.mean(g) * 0.0
+
+    slope_time("gather 2ch flat-indexed", gather_flat2,
+               lambda: jnp.zeros(3, jnp.float32), lambda c: float(c[0]))
+
     def integrate_step(st):
         warped = W.deform_points(warp, vox, table)
         return T.integrate(cfg, st, warped, table.valid, depth, color, intr)
@@ -175,9 +220,86 @@ def run(vol, hw, n_nodes=512):
     )
     note(f"{'  -> per frame in the scan':44s} {dt / K * 1e3:8.3f} ms")
 
+    # --- isolation: which part of the varying-warp body costs? ---
+    @jax.jit
+    def scan_lbs_only(acc):
+        def body(a, t):
+            wp = warp._replace(translations=t)
+            warped = W.deform_points(wp, vox, table)
+            return a + warped[0, 0] * 0.0 + jnp.float32(1), None
+        acc, _ = jax.lax.scan(body, acc, transK)
+        return acc
+
+    dt = slope_time(f"scan body: LBS only x{K}", scan_lbs_only,
+                    lambda: jnp.float32(0), lambda c: float(c))
+    note(f"{'  -> per frame':44s} {dt / K * 1e3:8.3f} ms")
+
+    @jax.jit
+    def scan_lbs_proj_gather(acc):
+        flat_d = depth.reshape(-1)
+
+        def body(a, t):
+            wp = warp._replace(translations=t)
+            warped = W.deform_points(wp, vox, table)
+            z = jnp.maximum(warped[:, 2], 1e-6)
+            px = jnp.clip(jnp.round(warped[:, 0] / z * intr.fx + intr.cx
+                                    ).astype(jnp.int32), 0, hw[1] - 1)
+            py = jnp.clip(jnp.round(warped[:, 1] / z * intr.fy + intr.cy
+                                    ).astype(jnp.int32), 0, hw[0] - 1)
+            d = flat_d[py * hw[1] + px]
+            return a + d[0] * 0.0 + jnp.float32(1), None
+        acc, _ = jax.lax.scan(body, acc, transK)
+        return acc
+
+    dt = slope_time(f"scan body: LBS+proj+1ch gather x{K}",
+                    scan_lbs_proj_gather,
+                    lambda: jnp.float32(0), lambda c: float(c))
+    note(f"{'  -> per frame':44s} {dt / K * 1e3:8.3f} ms")
+
+    @jax.jit
+    def scan_fixedidx_integrate(st):
+        # indices vary via a trivial carry-dependent shift (no LBS):
+        # isolates integrate's elementwise update + gather with fresh
+        # indices from the warp-field cost
+        def body(s, frame):
+            d, c = frame
+            shift = (s.weight.ravel()[0] * 0.0).astype(jnp.float32)
+            warped = vox + shift
+            return T.integrate(cfg, s, warped, table.valid, d, c, intr), None
+        st, _ = jax.lax.scan(body, st, (depthsK, colorsK))
+        return st
+
+    dt = slope_time(
+        f"scan body: proj+integrate, no LBS x{K}", scan_fixedidx_integrate,
+        lambda: jax.tree.map(lambda x: jnp.array(x, copy=True), state),
+        lambda st: float(st.tsdf[0, 0, 0]),
+    )
+    note(f"{'  -> per frame':44s} {dt / K * 1e3:8.3f} ms")
+
+    from occlusionfusion_tpu.ops.lbs import lbs_warp_pallas
+
+    @jax.jit
+    def chunk_step_varying_pallas(st):
+        def body(s, frame):
+            d, c, t = frame
+            wp = warp._replace(translations=t)
+            warped = lbs_warp_pallas(
+                vox, table.anchors, table.weights, table.valid, wp
+            )
+            return T.integrate(cfg, s, warped, table.valid, d, c, intr), None
+        st, _ = jax.lax.scan(body, st, (depthsK, colorsK, transK))
+        return st
+
+    dt = slope_time(
+        f"varying-warp PALLAS-lbs+integrate x{K} (scan)",
+        chunk_step_varying_pallas,
+        lambda: jax.tree.map(lambda x: jnp.array(x, copy=True), state),
+        lambda st: float(st.tsdf[0, 0, 0]),
+    )
+    note(f"{'  -> per frame in the scan':44s} {dt / K * 1e3:8.3f} ms")
+
     # Pallas one-hot-matmul LBS vs the XLA gather path (honest numbers;
     # the 1.46/3.16 ms figures in ops/lbs.py predate slope timing)
-    from occlusionfusion_tpu.ops.lbs import lbs_warp_pallas
 
     @jax.jit
     def lbs_pallas_step(pts):
