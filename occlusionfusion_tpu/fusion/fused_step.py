@@ -56,6 +56,10 @@ class FusionTables(NamedTuple):
     edge_weights: jnp.ndarray  # [N, K_e]
     pyramid_ints: jnp.ndarray  # packed pyramid (motion_runner layout)
     n_nodes: jnp.ndarray  # scalar int32
+    # precomputed dense skinning matrix for the voxel warp (ops/lbs.py
+    # DenseSkin halves); None -> fall back to Pallas/XLA LBS
+    vox_dense_hi: jnp.ndarray = None  # [V, N_pad] bf16
+    vox_dense_lo: jnp.ndarray = None  # [V, N_pad] bf16
 
 
 class FusionStepState(NamedTuple):
@@ -75,11 +79,18 @@ class FusedStepConfig(NamedTuple):
     # faster per solve on TPU at equal accuracy; see solvers/)
     solver: str = "nicp"
     gn: "GNConfig" = None  # type: ignore[assignment]
-    # voxel-warp implementation: "auto" = Pallas one-hot-matmul kernel on
-    # TPU, XLA gather path elsewhere. Inside the per-frame scan the warp
-    # varies, so XLA cannot hoist the [V, K] transform gathers — measured
-    # (64^3 vox / 512 nodes, slope+readback) 5.2 ms/frame XLA-gather LBS
-    # vs 3.3 ms Pallas one-hot; whole scan body 6.8 -> 4.5 ms/frame.
+    # voxel-warp implementation for the TSDF integrate:
+    #   "dense"  — precomputed split-bf16 skinning matrix (DenseSkin),
+    #              per-frame LBS is a pure dense matmul (no gathers, no
+    #              one-hot build); needs tables.vox_dense_hi/lo
+    #   "pallas" — one-hot-matmul Pallas kernel (builds S per call)
+    #   "xla"    — gather+einsum (warpfield.deform_points)
+    #   "auto"   — dense if the tables carry it, else Pallas on TPU,
+    #              else XLA. Inside the per-frame scan the warp varies,
+    #              so XLA cannot hoist the [V, K] transform gathers —
+    #              measured (64^3 vox / 512 nodes, slope+readback)
+    #              5.2 ms/frame XLA-gather LBS vs 3.3 ms Pallas one-hot;
+    #              whole scan body 6.8 -> 4.5 ms/frame.
     lbs_impl: str = "auto"
     # motion-completion pyramid padding buckets; must equal
     # level_sizes_for(node cap) so pyramid_ints, the GNN shapes and the
@@ -240,10 +251,24 @@ def _fused_register_frame_impl(
     new_warp = warp._replace(
         rotations=result.rotations, translations=result.translations
     )
-    use_pallas = config.lbs_impl == "pallas" or (
-        config.lbs_impl == "auto" and jax.default_backend() == "tpu"
+    have_dense = tables.vox_dense_hi is not None
+    use_dense = config.lbs_impl == "dense" or (
+        config.lbs_impl == "auto" and have_dense
     )
-    if use_pallas:
+    use_pallas = not use_dense and (
+        config.lbs_impl == "pallas"
+        or (config.lbs_impl == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_dense:
+        from occlusionfusion_tpu.ops.lbs import DenseSkin, lbs_warp_dense
+
+        warped_vox = lbs_warp_dense(
+            tables.vox_points,
+            vox_table.valid,
+            DenseSkin(tables.vox_dense_hi, tables.vox_dense_lo),
+            new_warp,
+        )
+    elif use_pallas:
         from occlusionfusion_tpu.ops.lbs import lbs_warp_pallas
 
         warped_vox = lbs_warp_pallas(

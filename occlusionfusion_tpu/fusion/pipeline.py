@@ -63,6 +63,11 @@ class FusionConfig:
     growth_interval: int = 0
     # warp solver for the fused path: "nicp" or "gn_dense"
     solver: str = "nicp"
+    # voxel-warp impl for the fused path (see FusedStepConfig.lbs_impl);
+    # "auto" precomputes the dense split-bf16 skinning matrix on TPU
+    # when it fits dense_skin_max_bytes, else Pallas/XLA
+    lbs_impl: str = "auto"
+    dense_skin_max_bytes: int = 1 << 30
     # explicit Gauss-Newton config for solver="gn_dense" (None = derive
     # weights from the nicp config)
     gn: object = None
@@ -775,6 +780,29 @@ class DynamicFusion:
         else:
             _, pack_len = _packed_layout(motion_levels)
             pyramid_ints = jnp.zeros((pack_len,), jnp.int32)
+        # dense precomputed skinning matrix for the voxel warp: on TPU
+        # this turns the in-scan LBS into a pure dense matmul (the
+        # gather/one-hot alternatives cost 5.2/3.3 ms per frame at
+        # 64^3/512); skipped on CPU (tests) and when it would not fit
+        from occlusionfusion_tpu.ops.lbs import (
+            dense_skin_bytes,
+            precompute_dense_skin,
+        )
+
+        want_dense = cfg.lbs_impl in ("auto", "dense") and (
+            jax.default_backend() == "tpu" or cfg.lbs_impl == "dense"
+        )
+        vox_dense = (None, None)
+        if want_dense and dense_skin_bytes(
+            self.vox_points.shape[0], cap
+        ) <= cfg.dense_skin_max_bytes:
+            ds = precompute_dense_skin(
+                self.vox_table.anchors,
+                self.vox_table.weights,
+                self.vox_table.valid,
+                cap,
+            )
+            vox_dense = (ds.s_hi, ds.s_lo)
         tables = FusionTables(
             vox_points=self.vox_points,
             vox_anchors=self.vox_table.anchors,
@@ -791,6 +819,8 @@ class DynamicFusion:
             edge_weights=self.edge_weights,
             pyramid_ints=pyramid_ints,
             n_nodes=jnp.int32(self.node_count),
+            vox_dense_hi=vox_dense[0],
+            vox_dense_lo=vox_dense[1],
         )
         # copy into the state: fused_register_frame donates these buffers,
         # so the object-style fields must keep their own copies
@@ -807,6 +837,7 @@ class DynamicFusion:
             use_motion_model=cfg.use_motion_model and motion_params is not None,
             solver=cfg.solver,
             gn=cfg.gn,
+            lbs_impl=cfg.lbs_impl,
             motion_levels=motion_levels,
         )
         return step_config, state, tables

@@ -30,6 +30,7 @@ dispatches to this kernel on TPU (``fusion/fused_step.py`` lbs_impl).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -123,6 +124,85 @@ def lbs_warp_pallas(
         out_shape=jax.ShapeDtypeStruct((p_pad, 4), jnp.float32),
     )(pts4, anc, wts, vld, T)
     return out[:P, :3]
+
+
+class DenseSkin(NamedTuple):
+    """Precomputed dense skinning matrix, split for 1-pass bf16 matmuls.
+
+    The skinning matrix S [P, N] (4 non-zeros per row) depends only on
+    the skin table — it is *warp-independent* and fixed between keyframe
+    graph rebuilds. Precomputing it turns the per-frame LBS into a plain
+    dense ``S @ T`` that XLA maps straight onto the MXU with NO per-frame
+    one-hot build and NO gathers — the per-frame cost is just streaming S
+    from HBM once per term.
+
+    bf16 split for f32-grade accuracy at 1-pass-per-term cost:
+    ``S @ T ~= S_hi @ T_hi + S_hi @ T_lo + S_lo @ T_hi`` (the dropped
+    ``S_lo @ T_lo`` term is ~2^-18 relative — microns at metre scale).
+    The two S_hi terms share one HBM read by packing [T_hi | T_lo] into
+    the output lanes of a single dot.
+    """
+
+    s_hi: jnp.ndarray  # [P, N_pad] bf16
+    s_lo: jnp.ndarray  # [P, N_pad] bf16
+
+
+def dense_skin_bytes(n_points: int, n_nodes: int) -> int:
+    n_pad = -(-n_nodes // 128) * 128
+    return 2 * n_points * n_pad * 2
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes",))
+def precompute_dense_skin(
+    anchors: jnp.ndarray,  # [P, K]
+    weights: jnp.ndarray,  # [P, K]
+    valid: jnp.ndarray,  # [P]
+    n_nodes: int,
+) -> DenseSkin:
+    """Materialize the [P, N_pad] skinning matrix as bf16 hi/lo halves.
+
+    Runs once per keyframe (table rebuild); rows of invalid points are
+    zero (the warp applies a validity passthrough at the end anyway).
+    """
+    P, K = anchors.shape
+    n_pad = -(-n_nodes // 128) * 128
+    ids = jax.lax.broadcasted_iota(jnp.int32, (P, n_pad), 1)
+    S = jnp.zeros((P, n_pad), jnp.float32)
+    for k in range(K):
+        S = S + jnp.where(
+            ids == anchors[:, k : k + 1], weights[:, k : k + 1], 0.0
+        )
+    S = jnp.where(valid[:, None], S, 0.0)
+    s_hi = S.astype(jnp.bfloat16)
+    s_lo = (S - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return DenseSkin(s_hi=s_hi, s_lo=s_lo)
+
+
+def lbs_warp_dense(
+    points: jnp.ndarray,  # [P, 3]
+    valid: jnp.ndarray,  # [P]
+    dense: DenseSkin,
+    state: WarpFieldState,
+) -> jnp.ndarray:
+    """Warp points via the precomputed dense skinning matrix (2 MXU
+    passes over S, no gathers, no one-hot build). Matches
+    ``warpfield.deform_points`` to ~1e-5 relative."""
+    n_pad = dense.s_hi.shape[1]
+    T = _pack_transforms(state)  # [N, 12] f32
+    T = jnp.pad(T, ((0, n_pad - T.shape[0]), (0, 0)))
+    T_hi = T.astype(jnp.bfloat16)
+    T_lo = (T - T_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # one read of s_hi covers both hi terms: [T_hi | T_lo] in the lanes
+    T2 = jnp.concatenate([T_hi, T_lo], axis=1)  # [n_pad, 24]
+    hi = jnp.dot(dense.s_hi, T2, preferred_element_type=jnp.float32)
+    lo = jnp.dot(dense.s_lo, T_hi, preferred_element_type=jnp.float32)
+    blended = hi[:, :12] + hi[:, 12:] + lo  # [P, 12]
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    ox = blended[:, 0] * x + blended[:, 1] * y + blended[:, 2] * z + blended[:, 9]
+    oy = blended[:, 3] * x + blended[:, 4] * y + blended[:, 5] * z + blended[:, 10]
+    oz = blended[:, 6] * x + blended[:, 7] * y + blended[:, 8] * z + blended[:, 11]
+    warped = jnp.stack([ox, oy, oz], axis=-1)
+    return jnp.where(valid[:, None], warped, points)
 
 
 def lbs_warp_lax(

@@ -298,6 +298,50 @@ def run(vol, hw, n_nodes=512):
     )
     note(f"{'  -> per frame in the scan':44s} {dt / K * 1e3:8.3f} ms")
 
+    from occlusionfusion_tpu.ops.lbs import (
+        lbs_warp_dense,
+        precompute_dense_skin,
+    )
+
+    dense = jax.block_until_ready(
+        precompute_dense_skin(table.anchors, table.weights, table.valid,
+                              n_nodes)
+    )
+
+    # NB: dense must be an ARGUMENT — a closure constant of this size is
+    # inlined into the HLO and overflows the relay's compile-request
+    # body limit (HTTP 413)
+    @jax.jit
+    def chunk_step_varying_dense(carry):
+        st, dn = carry
+
+        def body(s, frame):
+            d, c, t = frame
+            wp = warp._replace(translations=t)
+            warped = lbs_warp_dense(vox, table.valid, dn, wp)
+            return T.integrate(cfg, s, warped, table.valid, d, c, intr), None
+        st, _ = jax.lax.scan(body, st, (depthsK, colorsK, transK))
+        return st, dn
+
+    dt = slope_time(
+        f"varying-warp DENSE-lbs+integrate x{K} (scan)",
+        chunk_step_varying_dense,
+        lambda: (jax.tree.map(lambda x: jnp.array(x, copy=True), state),
+                 dense),
+        lambda c: float(c[0].tsdf[0, 0, 0]),
+    )
+    note(f"{'  -> per frame in the scan':44s} {dt / K * 1e3:8.3f} ms")
+
+    @jax.jit
+    def dense_lbs_step(carry):
+        acc, dn = carry
+        wp = warp._replace(translations=warp.translations + acc * 0.0)
+        warped = lbs_warp_dense(vox, table.valid, dn, wp)
+        return acc + warped[0, 0] * 0.0 + jnp.float32(1), dn
+
+    slope_time("lbs deform (dense split-bf16 matmul)", dense_lbs_step,
+               lambda: (jnp.float32(0), dense), lambda c: float(c[0]))
+
     # Pallas one-hot-matmul LBS vs the XLA gather path (honest numbers;
     # the 1.46/3.16 ms figures in ops/lbs.py predate slope timing)
 

@@ -58,3 +58,30 @@ def test_invalid_points_pass_through(setup, monkeypatch):
     none_valid = jnp.zeros_like(valid)
     got = lbs.lbs_warp_pallas(pts, anchors, weights, none_valid, wf)
     np.testing.assert_allclose(np.asarray(got), np.asarray(pts), atol=1e-6)
+
+
+def test_dense_matches_lax(setup):
+    pts, anchors, weights, valid, wf = setup
+    want = lbs.lbs_warp_lax(pts, anchors, weights, valid, wf)
+    dense = lbs.precompute_dense_skin(anchors, weights, valid, 40)
+    got = lbs.lbs_warp_dense(pts, valid, dense, wf)
+    # split-bf16 3-term product: ~2^-17 relative of the transform scale
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_dense_invalid_points_pass_through(setup):
+    pts, anchors, weights, valid, wf = setup
+    none_valid = jnp.zeros_like(valid)
+    dense = lbs.precompute_dense_skin(anchors, weights, none_valid, 40)
+    got = lbs.lbs_warp_dense(pts, none_valid, dense, wf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(pts), atol=1e-6)
+
+
+def test_dense_in_fused_step_matches_xla(setup):
+    """The fused step with lbs_impl='dense' must track the XLA path."""
+    pts, anchors, weights, valid, wf = setup
+    dense = lbs.precompute_dense_skin(anchors, weights, valid, 40)
+    a = lbs.lbs_warp_dense(pts, valid, dense, wf)
+    b = lbs.lbs_warp_lax(pts, anchors, weights, valid, wf)
+    err = np.abs(np.asarray(a) - np.asarray(b)).max()
+    assert err < 5e-5, err
