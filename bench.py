@@ -87,12 +87,14 @@ def bench_fusion():
     from occlusionfusion_tpu.solvers.gauss_newton import GNConfig
 
     # defaults from the quiet v5e profile (2026-08-18): GN converges by
-    # iter 4 (README); bf16 J^T J saves ~0.5 ms/iter at equal accuracy
+    # iter 4 (README); block-scatter assembly (GNConfig default) does
+    # true-FLOP work, so the full-precision normal matrix is affordable
     gn = GNConfig(
         iters=int(os.environ.get("BENCH_GN_ITERS", "4")),
         w_point=1.0, w_arap=2.0, w_motion=0.0,
         linear_solver=os.environ.get("BENCH_LINSOLVE", "cholesky"),
-        normal_matrix_precision=os.environ.get("BENCH_APREC", "default"),
+        assembly=os.environ.get("BENCH_ASSEMBLY", "blocks"),
+        normal_matrix_precision=os.environ.get("BENCH_APREC", "highest"),
     )
     cfg = FusionConfig(
         vol_dim=(64, 64, 64), voxel_size=0.008, node_coverage=0.03,

@@ -68,6 +68,15 @@ class FusionConfig:
     # when it fits dense_skin_max_bytes, else Pallas/XLA
     lbs_impl: str = "auto"
     dense_skin_max_bytes: int = 1 << 30
+    # sparse bricked TSDF (fusion/bricks.py): 0 = dense grid; >0 = brick
+    # edge in voxels. Only bricks within the truncation band of observed
+    # surface (dilated brick_dilate bricks for inter-keyframe motion)
+    # are allocated/warped/integrated — at the reference's 128^3 default
+    # the active set is typically 5-15% of the volume. The active set
+    # refreshes at growth keyframes (growth_interval).
+    brick_size: int = 0
+    max_bricks: int = 2048
+    brick_dilate: int = 1
     # explicit Gauss-Newton config for solver="gn_dense" (None = derive
     # weights from the nicp config)
     gn: object = None
@@ -136,6 +145,7 @@ class DynamicFusion:
         self.frame_id = -1
         self.prev_R = None
         self.prev_t = None
+        self.brick_grid = None
 
     # ------------------------------------------------------------------
     def initialize(self, frame: Frame):
@@ -151,17 +161,40 @@ class DynamicFusion:
         origin = T.volume_bounds_from_frame(
             frame.depth, self.intr, cfg.vol_dim, cfg.voxel_size
         )
-        self.tsdf = T.create_volume(self.tsdf_config, origin)
-        self.vox_points = T.voxel_world_points(
-            self.tsdf_config, self.tsdf.origin
-        )
+        if cfg.brick_size:
+            from occlusionfusion_tpu.fusion import bricks as BR
+
+            self.brick_grid = BR.BrickGrid(
+                vol_dim=cfg.vol_dim,
+                voxel_size=cfg.voxel_size,
+                brick=cfg.brick_size,
+                max_bricks=cfg.max_bricks,
+            )
+            ids = BR.active_bricks_from_depth(
+                self.brick_grid, np.asarray(origin), frame.depth,
+                self.intr, trunc, dilate=cfg.brick_dilate,
+            )
+            self.brick_ids = BR.pack_brick_ids(self.brick_grid, ids)
+            self.tsdf = BR.create_brick_volume(self.brick_grid, origin)
+            vox_np, bvalid = BR.brick_voxel_points(
+                self.brick_grid, np.asarray(origin), self.brick_ids
+            )
+            self.vox_points = jnp.asarray(vox_np)
+            self.brick_valid = jnp.asarray(bvalid)
+        else:
+            self.brick_grid = None
+            self.tsdf = T.create_volume(self.tsdf_config, origin)
+            self.vox_points = T.voxel_world_points(
+                self.tsdf_config, self.tsdf.origin
+            )
+            self.brick_valid = jnp.ones(self.vox_points.shape[0], bool)
         depth = jnp.asarray(frame.depth)
         color = jnp.asarray(frame.color)
         self.tsdf = T.integrate(
             self.tsdf_config,
             self.tsdf,
             self.vox_points,
-            jnp.ones(self.vox_points.shape[0], bool),
+            self.brick_valid,
             depth,
             color,
             self.intr,
@@ -192,8 +225,9 @@ class DynamicFusion:
 
         # canonical model points: mesh vertices, subsampled/padded
         self._set_canonical_points(verts_vox)
-        # voxel skinning table (re-used every integrate)
-        self.vox_table = W.skin(self.warp, self.vox_points, cfg.node_coverage)
+        # voxel skinning table (re-used every integrate); in bricked
+        # mode free-slot voxels are masked out of the warp + integrate
+        self.vox_table = self._skin_vox()
         self.frame_id = frame.index
         self.prev_frame = frame
         if self.motion_runner is not None:
@@ -202,12 +236,30 @@ class DynamicFusion:
         if cfg.keyframe_interval:
             self._record_keyframe(frame)
 
+    def _skin_vox(self):
+        table = W.skin(
+            self.warp, self.vox_points, self.config.node_coverage
+        )
+        if self.brick_grid is not None:
+            table = table._replace(valid=table.valid & self.brick_valid)
+        return table
+
     def _extract_mesh_host(self):
-        tsdf_np = np.asarray(self.tsdf.tsdf)
-        w_np = np.asarray(self.tsdf.weight)
-        mask = np.asarray(
-            T.truncated_region_mask(self.tsdf.tsdf, self.tsdf.weight)
-        ).astype(np.uint8)
+        if self.brick_grid is not None:
+            from occlusionfusion_tpu.fusion import bricks as BR
+
+            tsdf_np, w_np = BR.scatter_to_dense(
+                self.brick_grid,
+                self.brick_ids,
+                np.asarray(self.tsdf.tsdf),
+                np.asarray(self.tsdf.weight),
+            )
+            mask = BR.truncated_region_mask_np(tsdf_np, w_np)
+        else:
+            tsdf_np = np.asarray(self.tsdf.tsdf)
+            mask = np.asarray(
+                T.truncated_region_mask(self.tsdf.tsdf, self.tsdf.weight)
+            ).astype(np.uint8)
         verts_vox, faces = native.marching_cubes(tsdf_np, mask, iso=0.0)
         verts = (
             verts_vox * self.tsdf_config.voxel_size
@@ -697,12 +749,82 @@ class DynamicFusion:
         t = np.stack([f["t"] for f in self.keyframes])
         return ids, R, t
 
+    def _refresh_bricks(self, frame: Frame) -> int:
+        """Keyframe active-set refresh for the bricked volume: keep every
+        currently active brick (it holds integrated data) and activate
+        canonical bricks whose *warped* centers land in the truncation
+        band of the current observation. Integrated data is carried into
+        the new slot layout with one device gather. Returns the number of
+        newly activated bricks."""
+        from occlusionfusion_tpu.fusion import bricks as BR
+
+        cfg = self.config
+        grid = self.brick_grid
+        origin = np.asarray(self.tsdf.origin)
+        trunc = self.tsdf_config.trunc_margin
+        # occupancy of the observation in CURRENT space
+        obs_pts = BR._backproject_valid(frame.depth, self.intr)
+        occ_ids = BR.active_bricks_from_points(
+            grid, origin, obs_pts, trunc, dilate=cfg.brick_dilate
+        )
+        occ = np.zeros(int(np.prod(grid.grid_dim)), bool)
+        occ[occ_ids] = True
+        # canonical brick centers warped to current space (new-surface
+        # bricks sit outside node coverage and pass through unwarped —
+        # exactly where their observations are)
+        GX, GY, GZ = grid.grid_dim
+        bs = grid.brick * grid.voxel_size
+        cx, cy, cz = np.meshgrid(
+            np.arange(GX), np.arange(GY), np.arange(GZ), indexing="ij"
+        )
+        centers = (
+            np.stack([cx, cy, cz], -1).reshape(-1, 3) + 0.5
+        ) * bs + origin
+        centers_j = jnp.asarray(centers.astype(np.float32))
+        ctable = W.skin(self.warp, centers_j, cfg.node_coverage)
+        warped_centers = np.asarray(
+            W.deform_points(self.warp, centers_j, ctable)
+        )
+        q = np.floor((warped_centers - origin) / bs).astype(np.int64)
+        inb = (
+            (q >= 0).all(1)
+            & (q[:, 0] < GX) & (q[:, 1] < GY) & (q[:, 2] < GZ)
+        )
+        lin = q[:, 0] * GY * GZ + q[:, 1] * GZ + q[:, 2]
+        wanted = np.zeros(len(centers), bool)
+        wanted[inb] = occ[lin[inb]]
+        old = np.asarray(self.brick_ids)
+        keep = old[old >= 0]
+        new_ids = np.union1d(keep, np.flatnonzero(wanted).astype(np.int32))
+        if len(new_ids) > grid.max_bricks:
+            # capacity: existing bricks win (they hold data); newly
+            # wanted ones are dropped deterministically from the far end
+            extra = np.setdiff1d(new_ids, keep)
+            room = grid.max_bricks - len(keep)
+            new_ids = np.union1d(keep, extra[:room])
+        n_new = len(new_ids) - len(keep)
+        if n_new == 0:
+            return 0
+        packed = BR.pack_brick_ids(grid, new_ids)
+        perm = BR.remap_slots(old, packed)
+        self.tsdf = BR.apply_remap(self.tsdf, perm)
+        self.brick_ids = packed
+        vox_np, bvalid = BR.brick_voxel_points(grid, origin, packed)
+        self.vox_points = jnp.asarray(vox_np)
+        self.brick_valid = jnp.asarray(bvalid)
+        self.vox_table = self._skin_vox()
+        return n_new
+
     def _grow(self, frame: Frame) -> int:
         """Extend the graph onto surface not covered by any node
         (warpfield.py:487-583 equivalent; see fusion/graph_growth.py)."""
         from occlusionfusion_tpu.fusion.graph_growth import grow_graph
 
         cfg = self.config
+        # bricked volume: refresh the active-brick set first so bricks
+        # covering newly observed surface exist before the mesh extract
+        if self.brick_grid is not None:
+            self._refresh_bricks(frame)
         # candidates come from the *canonical* mesh: integration has just
         # written any newly observed surface into the canonical volume
         verts, _ = self._extract_mesh_host()
@@ -724,9 +846,7 @@ class DynamicFusion:
             self.nodes = res.warp.node_positions
             self.node_valid = res.warp.node_valid
             # re-skin the caches against the grown graph
-            self.vox_table = W.skin(
-                self.warp, self.vox_points, cfg.node_coverage
-            )
+            self.vox_table = self._skin_vox()
             self.point_table = W.skin(
                 self.warp, self.model_points, cfg.node_coverage
             )

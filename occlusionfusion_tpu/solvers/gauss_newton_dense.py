@@ -147,6 +147,130 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
     return M, b, sq
 
 
+def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
+    """Block-scatter assembly: mathematically identical to ``_assemble``
+    but never materializes the dense row-stacked jacobian. Each residual
+    contributes 6x6 blocks at its (anchor, anchor) pairs, accumulated
+    with segment_sum into the [N, N] block table.
+
+    The dense-J route computes J^T J over a [rows, 6N] matrix that is
+    ~99% zeros — at the 512-node cap that is ~490 GFLOP of mostly-zero
+    MXU work per GN iteration (measured 113-166 ms per 4-iter solve,
+    assembly-bound: CG-12 == CG-24 there). The true block FLOPs are
+    ~10^3x smaller; this path pays one scatter-add instead."""
+    n = problem.nodes.shape[0]
+    P, K = problem.point_anchors.shape
+
+    # ---- point term (identical jacobian blocks to _assemble)
+    x = problem.source_points
+    g = problem.nodes[problem.point_anchors]
+    Rk = R[problem.point_anchors]
+    tk = t[problem.point_anchors]
+    local = jnp.einsum(
+        "pkij,pkj->pki", Rk, x[:, None] - g, precision="highest"
+    )
+    w = problem.point_weights * problem.point_valid[:, None]
+    sw = jnp.sqrt(jnp.asarray(config.w_point, jnp.float32))
+    warped = jnp.sum(
+        problem.point_weights[..., None] * (local + g + tk), axis=1
+    )
+    r_pt = sw * problem.point_valid[:, None] * (warped - problem.target_points)
+    Jw = -hat(local) * w[..., None, None]
+    Jt = jnp.broadcast_to(jnp.eye(3), (P, K, 3, 3)) * w[..., None, None]
+    J = sw * jnp.concatenate([Jw, Jt], axis=-1)  # [P, K, 3, 6]
+
+    blk = jnp.einsum(
+        "pkai,plaj->pklij", J, J, precision=config.normal_matrix_precision
+    )  # [P, K, K, 6, 6]
+    a = problem.point_anchors.astype(jnp.int32)
+    seg = (a[:, :, None] * n + a[:, None, :]).reshape(-1)
+    M_blocks = jax.ops.segment_sum(
+        blk.reshape(-1, 36), seg, num_segments=n * n
+    )
+    b_pt = jnp.einsum("pkai,pa->pki", J, r_pt, precision="highest")
+    b_nodes = jax.ops.segment_sum(
+        b_pt.reshape(-1, 6), a.reshape(-1), num_segments=n
+    )
+    sq = jnp.sum(r_pt * r_pt)
+
+    # ---- ARAP term
+    E_k = problem.edges.shape[1]
+    e = jnp.maximum(problem.edges, 0).astype(jnp.int32)
+    g_i = problem.nodes[:, None]
+    g_j = problem.nodes[e]
+    rot = jnp.einsum("nij,nkj->nki", R, g_j - g_i, precision="highest")
+    r_arap = rot + g_i + t[:, None] - g_j - t[e]
+    wa = jnp.sqrt(
+        jnp.asarray(config.w_arap, jnp.float32)
+        * jnp.where(problem.edges >= 0, problem.edge_weights, 0.0)
+    )
+    r_arap = wa[..., None] * r_arap
+    Ji = jnp.concatenate(
+        [-hat(rot), jnp.broadcast_to(jnp.eye(3), (n, E_k, 3, 3))], axis=-1
+    ) * wa[..., None, None]  # [N, Ke, 3, 6]
+    Jj = jnp.concatenate(
+        [
+            jnp.zeros((n, E_k, 3, 3)),
+            -jnp.broadcast_to(jnp.eye(3), (n, E_k, 3, 3)),
+        ],
+        axis=-1,
+    ) * wa[..., None, None]
+    prec = config.normal_matrix_precision
+    ii = jnp.sum(
+        jnp.einsum("neai,neaj->neij", Ji, Ji, precision=prec), axis=1
+    )  # [N, 6, 6] — diagonal blocks, direct add
+    jj = jnp.einsum("neai,neaj->neij", Jj, Jj, precision=prec)
+    ij = jnp.einsum("neai,neaj->neij", Ji, Jj, precision=prec)
+    idx_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, E_k))
+    seg_ij = (idx_i * n + e).reshape(-1)
+    seg_ji = (e * n + idx_i).reshape(-1)
+    seg_jj = (e * n + e).reshape(-1)
+    diag_seg = jnp.arange(n, dtype=jnp.int32) * n + jnp.arange(
+        n, dtype=jnp.int32
+    )
+    M_blocks = M_blocks.at[diag_seg].add(ii.reshape(-1, 36))
+    M_blocks = M_blocks + jax.ops.segment_sum(
+        ij.reshape(-1, 36), seg_ij, num_segments=n * n
+    )
+    ji = ij.transpose(0, 1, 3, 2)
+    M_blocks = M_blocks + jax.ops.segment_sum(
+        ji.reshape(-1, 36), seg_ji, num_segments=n * n
+    )
+    M_blocks = M_blocks + jax.ops.segment_sum(
+        jj.reshape(-1, 36), seg_jj, num_segments=n * n
+    )
+    b_nodes = b_nodes + jnp.sum(
+        jnp.einsum("neai,nea->nei", Ji, r_arap, precision="highest"), axis=1
+    )
+    b_nodes = b_nodes + jax.ops.segment_sum(
+        jnp.einsum("neai,nea->nei", Jj, r_arap, precision="highest"
+                   ).reshape(-1, 6),
+        e.reshape(-1),
+        num_segments=n,
+    )
+    sq = sq + jnp.sum(r_arap * r_arap)
+
+    # ---- motion prior (translation diagonal)
+    if config.w_motion:
+        wm = jnp.sqrt(
+            jnp.asarray(config.w_motion, jnp.float32)
+        ) * problem.motion_confidence * problem.node_valid
+        r_m = wm[:, None] * (problem.nodes + t - problem.motion_targets)
+        mot = jnp.zeros((n, 6, 6)).at[:, 3:, 3:].set(
+            jnp.eye(3) * (wm**2)[:, None, None]
+        )
+        M_blocks = M_blocks.at[diag_seg].add(mot.reshape(-1, 36))
+        b_nodes = b_nodes.at[:, 3:].add(wm[:, None] * r_m)
+        sq = sq + jnp.sum(r_m * r_m)
+
+    M = (
+        M_blocks.reshape(n, n, 6, 6)
+        .transpose(0, 2, 1, 3)
+        .reshape(6 * n, 6 * n)
+    )
+    return M, b_nodes.reshape(-1), sq
+
+
 def diag_blocks(problem: GNProblem, config: GNConfig, R, t):
     """Per-node 6x6 diagonal blocks of JtJ (no N^2 scatter) — the
     block-Jacobi preconditioner for the matrix-free CG solver.
@@ -230,7 +354,10 @@ def solve_dense(
 
     def gn_step(carry, _):
         R, t, ok = carry
-        M, b, sq = _assemble(problem, config, R, t)
+        if config.assembly == "blocks":
+            M, b, sq = _assemble_blocks(problem, config, R, t)
+        else:
+            M, b, sq = _assemble(problem, config, R, t)
         # frozen/padded nodes: identity rows/cols, zero rhs
         M = M * free6[:, None] * free6[None, :]
         M = M + jnp.diag(

@@ -212,6 +212,20 @@ def run_cap(cap):
         ("solve_dense4_ns_bf16A", GNConfig(iters=4, w_point=1.0, w_arap=2.0,
                                            w_motion=1.0, linear_solver="ns",
                                            normal_matrix_precision="default")),
+        ("solve_dense4_cg12_bf16A", GNConfig(
+            iters=4, w_point=1.0, w_arap=2.0, w_motion=1.0,
+            linear_solver="cg", dense_cg_iters=12,
+            normal_matrix_precision="default")),
+        ("solve_dense4_cg24_bf16A", GNConfig(
+            iters=4, w_point=1.0, w_arap=2.0, w_motion=1.0,
+            linear_solver="cg", dense_cg_iters=24,
+            normal_matrix_precision="default")),
+        ("solve_dense4_blocks", GNConfig(
+            iters=4, w_point=1.0, w_arap=2.0, w_motion=1.0,
+            assembly="blocks")),
+        ("solve_dense4_blocks_cg12", GNConfig(
+            iters=4, w_point=1.0, w_arap=2.0, w_motion=1.0,
+            assembly="blocks", linear_solver="cg", dense_cg_iters=12)),
     ):
         results[name] = chain_time(f"{name}", solver_step(cfg_s))
 

@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--loop_radius", type=float, default=0.3,
                     help="loop-closure search radius between keyframe"
                          " poses (m)")
+    ap.add_argument("--brick_size", type=int, default=0,
+                    help="sparse bricked TSDF: brick edge in voxels "
+                         "(0 = dense grid)")
+    ap.add_argument("--max_bricks", type=int, default=2048)
     ap.add_argument("--max_depth", type=float, default=0.0,
                     help="zero depth beyond this cutoff (m); 0 = off")
     ap.add_argument("--depth_filter_size", type=int, default=0,
@@ -131,6 +135,8 @@ def main():
         loop_radius=args.loop_radius,
         use_lepard=lepard_params is not None,
         use_flow=flow_params is not None,
+        brick_size=args.brick_size,
+        max_bricks=args.max_bricks,
     )
     seq = RGBDSequence(
         args.datadir,

@@ -183,3 +183,46 @@ class TestNewtonSchulzGN:
         )
         # frozen nodes stay at their initial (identity) transform
         assert np.abs(np.asarray(res.translations)[~mask]).max() < 1e-7
+
+
+class TestBlockAssembly:
+    def test_blocks_match_dense_j(self):
+        """The two assembly backends build the identical normal system."""
+        from occlusionfusion_tpu.solvers.gauss_newton_dense import (
+            _assemble,
+            _assemble_blocks,
+        )
+        import jax
+
+        problem, _, _ = build_problem(n_pts=300, n_nodes=30)
+        n = problem.nodes.shape[0]
+        R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+        rng = np.random.RandomState(3)
+        # perturb away from identity so cross terms are non-trivial
+        from occlusionfusion_tpu.geometry.so3 import so3_exp
+
+        R = so3_exp(jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.2))
+        t = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.03)
+        for wm in (0.0, 2.0):
+            cfg = GNConfig(iters=1, w_point=1.3, w_arap=2.7, w_motion=wm)
+            M1, b1, sq1 = _assemble(problem, cfg, R, t)
+            M2, b2, sq2 = _assemble_blocks(problem, cfg, R, t)
+            scale = float(jnp.max(jnp.abs(M1))) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(M2), np.asarray(M1), atol=3e-5 * scale
+            )
+            np.testing.assert_allclose(
+                np.asarray(b2), np.asarray(b1),
+                atol=3e-5 * (float(jnp.max(jnp.abs(b1))) + 1e-12),
+            )
+            np.testing.assert_allclose(float(sq2), float(sq1), rtol=1e-5)
+
+    def test_blocks_solver_converges(self):
+        problem, target, target_nodes = build_problem(n_pts=300, n_nodes=30)
+        cfg = GNConfig(iters=6, assembly="blocks", lm_damping=1e-5)
+        res = solve_dense(problem, cfg)
+        err = np.linalg.norm(
+            np.asarray(res.warped_points) - np.asarray(target), axis=1
+        )
+        valid = np.asarray(problem.point_valid) > 0
+        assert np.median(err[valid]) < 1e-3
