@@ -78,13 +78,39 @@ def bench_fusion():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     import jax
     import jax.numpy as jnp
-    from test_fusion_e2e import make_sequence
 
+    from occlusionfusion_tpu.fusion.frame_loader import ArraySequence
     from occlusionfusion_tpu.fusion.pipeline import DynamicFusion, FusionConfig
+    from occlusionfusion_tpu.geometry.camera import Intrinsics
     from occlusionfusion_tpu.graph.edgraph import GraphConfig
     from occlusionfusion_tpu.solvers.nicp import NICPConfig
 
     from occlusionfusion_tpu.solvers.gauss_newton import GNConfig
+
+    def make_sequence(n_frames, h, w, step=(0.0, 0.0, 0.004), r=0.1):
+        """Analytic deforming-sphere RGB-D sequence at any resolution
+        (generalizes tests/test_fusion_e2e.make_sequence; f scales with
+        the image so the sphere subtends the same view)."""
+        intr = Intrinsics(
+            np.float32(2.3 * w), np.float32(2.3 * w),
+            np.float32(w / 2), np.float32(h / 2),
+        )
+        v, u = np.mgrid[0:h, 0:w].astype(np.float32)
+        dx = (u - intr.cx) / intr.fx
+        dy = (v - intr.cy) / intr.fy
+        d = np.stack([dx, dy, np.ones_like(dx)], -1)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        depths, colors = [], []
+        for i in range(n_frames):
+            c = np.asarray([0.0, 0.0, 1.0]) + np.asarray(step) * i
+            b = d @ c
+            disc = b * b - (c @ c - r * r)
+            hit = disc > 0
+            t = b - np.sqrt(np.maximum(disc, 0))
+            depth = np.where(hit & (t > 0), t * d[..., 2], 0.0)
+            depths.append(depth.astype(np.float32))
+            colors.append(np.full((h, w, 3), 128.0, np.float32))
+        return ArraySequence(colors, depths, intr)
 
     # defaults from the quiet v5e profile (2026-08-18): GN converges by
     # iter 4 (README); block-scatter assembly (GNConfig default) does
@@ -96,17 +122,29 @@ def bench_fusion():
         assembly=os.environ.get("BENCH_ASSEMBLY", "blocks"),
         normal_matrix_precision=os.environ.get("BENCH_APREC", "highest"),
     )
+    vol = int(os.environ.get("BENCH_VOL", "64"))
+    vox_size = float(os.environ.get("BENCH_VOXEL_SIZE", "0.008"))
+    ncov = float(os.environ.get("BENCH_NODE_COVERAGE", "0.03"))
+    himg, wimg = (
+        int(x) for x in os.environ.get("BENCH_IMG", "128x128").split("x")
+    )
     cfg = FusionConfig(
-        vol_dim=(64, 64, 64), voxel_size=0.008, node_coverage=0.03,
+        vol_dim=(vol, vol, vol), voxel_size=vox_size, node_coverage=ncov,
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", "128")),
-        max_points=4096, max_depth_diff=0.05,
-        graph=GraphConfig(node_coverage=0.03, min_neighbors=2),
+        max_points=int(os.environ.get("BENCH_MAX_POINTS", "4096")),
+        max_depth_diff=0.05,
+        graph=GraphConfig(node_coverage=ncov, min_neighbors=2),
         nicp=NICPConfig(iters=100, w_motion=0.0, lr=0.02),
         use_motion_model=False,
         solver=os.environ.get("BENCH_SOLVER", "gn_dense"),
         gn=gn,
+        brick_size=int(os.environ.get("BENCH_BRICK", "0")),
+        max_bricks=int(os.environ.get("BENCH_MAX_BRICKS", "2048")),
+        dense_skin_max_bytes=int(
+            os.environ.get("BENCH_DENSE_SKIN_MAX", str(1 << 31))
+        ),
     )
-    seq, _ = make_sequence(n_frames=24)
+    seq = make_sequence(24, himg, wimg)
     fusion = DynamicFusion(seq, cfg)
     fusion.initialize(seq.load(0))
     sc, state, tables = fusion.build_fused()
