@@ -183,14 +183,8 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
         "pkai,plaj->pklij", J, J, precision=config.normal_matrix_precision
     )  # [P, K, K, 6, 6]
     a = problem.point_anchors.astype(jnp.int32)
-    seg = (a[:, :, None] * n + a[:, None, :]).reshape(-1)
-    M_blocks = jax.ops.segment_sum(
-        blk.reshape(-1, 36), seg, num_segments=n * n
-    )
+    seg_pt = (a[:, :, None] * n + a[:, None, :]).reshape(-1)
     b_pt = jnp.einsum("pkai,pa->pki", J, r_pt, precision="highest")
-    b_nodes = jax.ops.segment_sum(
-        b_pt.reshape(-1, 6), a.reshape(-1), num_segments=n
-    )
     sq = jnp.sum(r_pt * r_pt)
 
     # ---- ARAP term
@@ -228,25 +222,35 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
     diag_seg = jnp.arange(n, dtype=jnp.int32) * n + jnp.arange(
         n, dtype=jnp.int32
     )
-    M_blocks = M_blocks.at[diag_seg].add(ii.reshape(-1, 36))
-    M_blocks = M_blocks + jax.ops.segment_sum(
-        ij.reshape(-1, 36), seg_ij, num_segments=n * n
-    )
     ji = ij.transpose(0, 1, 3, 2)
-    M_blocks = M_blocks + jax.ops.segment_sum(
-        ji.reshape(-1, 36), seg_ji, num_segments=n * n
+    # ONE fused scatter for all off-diagonal/pair contributions (point
+    # K^2 pairs + ARAP ij/ji/jj) — each segment_sum is a dependent
+    # scatter pass on TPU, so batching them shortens the per-iteration
+    # op chain
+    all_blocks = jnp.concatenate(
+        [
+            blk.reshape(-1, 36),
+            ij.reshape(-1, 36),
+            ji.reshape(-1, 36),
+            jj.reshape(-1, 36),
+        ],
+        axis=0,
     )
-    M_blocks = M_blocks + jax.ops.segment_sum(
-        jj.reshape(-1, 36), seg_jj, num_segments=n * n
+    all_segs = jnp.concatenate([seg_pt, seg_ij, seg_ji, seg_jj])
+    M_blocks = jax.ops.segment_sum(
+        all_blocks, all_segs, num_segments=n * n
+    )
+    M_blocks = M_blocks.at[diag_seg].add(ii.reshape(-1, 36))
+    b_arap_j = jnp.einsum(
+        "neai,nea->nei", Jj, r_arap, precision="highest"
+    )
+    b_nodes = jax.ops.segment_sum(
+        jnp.concatenate([b_pt.reshape(-1, 6), b_arap_j.reshape(-1, 6)]),
+        jnp.concatenate([a.reshape(-1), e.reshape(-1)]),
+        num_segments=n,
     )
     b_nodes = b_nodes + jnp.sum(
         jnp.einsum("neai,nea->nei", Ji, r_arap, precision="highest"), axis=1
-    )
-    b_nodes = b_nodes + jax.ops.segment_sum(
-        jnp.einsum("neai,nea->nei", Jj, r_arap, precision="highest"
-                   ).reshape(-1, 6),
-        e.reshape(-1),
-        num_segments=n,
     )
     sq = sq + jnp.sum(r_arap * r_arap)
 
