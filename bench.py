@@ -117,7 +117,8 @@ def bench_fusion():
     # true-FLOP work, so the full-precision normal matrix is affordable
     gn = GNConfig(
         iters=int(os.environ.get("BENCH_GN_ITERS", "4")),
-        w_point=1.0, w_arap=2.0, w_motion=0.0,
+        w_point=1.0, w_arap=2.0,
+        w_motion=1.0 if os.environ.get("BENCH_MOTION") == "1" else 0.0,
         linear_solver=os.environ.get("BENCH_LINSOLVE", "cholesky"),
         assembly=os.environ.get("BENCH_ASSEMBLY", "blocks"),
         normal_matrix_precision=os.environ.get("BENCH_APREC", "highest"),
@@ -135,7 +136,7 @@ def bench_fusion():
         max_depth_diff=0.05,
         graph=GraphConfig(node_coverage=ncov, min_neighbors=2),
         nicp=NICPConfig(iters=100, w_motion=0.0, lr=0.02),
-        use_motion_model=False,
+        use_motion_model=os.environ.get("BENCH_MOTION") == "1",
         solver=os.environ.get("BENCH_SOLVER", "gn_dense"),
         gn=gn,
         brick_size=int(os.environ.get("BENCH_BRICK", "0")),
@@ -145,10 +146,21 @@ def bench_fusion():
         ),
     )
     seq = make_sequence(24, himg, wimg)
-    fusion = DynamicFusion(seq, cfg)
+    motion_params = None
+    if os.environ.get("BENCH_MOTION") == "1":
+        # occlusion-aware motion completion in the loop (the flagship
+        # subsystem): load the converted reference checkpoint
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_motion_complete_params,
+        )
+
+        motion_params = load_motion_complete_params()
+    fusion = DynamicFusion(seq, cfg, motion_params=motion_params)
     fusion.initialize(seq.load(0))
-    sc, state, tables = fusion.build_fused()
-    state, info = fusion.register_frame_fused(sc, state, tables, seq.load(1))
+    sc, state, tables = fusion.build_fused(motion_params)
+    state, info = fusion.register_frame_fused(
+        sc, state, tables, seq.load(1), motion_params
+    )
     # warmup: compile + pay the relay's one-time first-fetch penalty
     float(info[0])
 
@@ -162,7 +174,7 @@ def bench_fusion():
         t0 = time.perf_counter()
         for i in range(k):
             state, info = fusion.register_frame_fused(
-                sc, state, tables, seq.load(i % 23 + 1)
+                sc, state, tables, seq.load(i % 23 + 1), motion_params
             )
         float(info[0])  # forces execution of the whole chain
         return time.perf_counter() - t0
@@ -193,7 +205,8 @@ def bench_fusion():
             infos = None
             for _ in range(k):
                 state, infos = fused_register_chunk(
-                    sc, state, tables, None, depths, colors, fusion.intr
+                    sc, state, tables, motion_params, depths, colors,
+                    fusion.intr,
                 )
             float(infos[0, 0])
             return time.perf_counter() - t0
