@@ -76,15 +76,22 @@ def smooth_warp(rng, pts, amplitude=0.04, n_waves=3):
 
 def synthetic_pair(rng, n=192, cap=256, nonrigid=True, overlap=0.8,
                    noise=0.005, max_angle=np.pi / 3,
-                   warp_amplitude=0.04):
+                   warp_amplitude=0.04, scale_range=(0.3, 1.3)):
     """Pair with known correspondences: smooth-surface cloud -> smooth
     warp -> bounded rigid -> noise; a random half-space of the target is
-    dropped (partial overlap) and replaced with distractor points."""
-    src = surface_cloud(rng, n)
-    warped = (smooth_warp(rng, src, amplitude=warp_amplitude)
+    dropped (partial overlap) and replaced with distractor points.
+
+    Global scale augmentation (``scale_range``): the KPConv pyramid's
+    first_voxel is FIXED at deployment, so the matcher must work across
+    object sizes — without this the shipped checkpoint matched 0.35-
+    radius training clouds but produced ~0 valid matches on the 0.12-
+    radius DT4D eval blob."""
+    s = rng.uniform(*scale_range)
+    src = surface_cloud(rng, n) * np.float32(s)
+    warped = (smooth_warp(rng, src, amplitude=warp_amplitude * s)
               if nonrigid else src)
     R = random_rotation(rng, max_angle)
-    t = rng.randn(3).astype(np.float32) * 0.1
+    t = rng.randn(3).astype(np.float32) * (0.1 * s)
     tgt = (warped @ R.T + t + rng.randn(n, 3) * noise).astype(np.float32)
 
     # partial overlap: drop target points on one side of a random plane
