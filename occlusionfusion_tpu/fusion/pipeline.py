@@ -995,6 +995,133 @@ class DynamicFusion:
             infos.append(self.register_frame(self.seq.load(i)))
         return infos
 
+    def save_state(self, path: str):
+        """Persist the resumable fusion state (reference parity:
+        ``tsdf.py:682-702`` volume pickle + the per-frame npy artifacts
+        that double as resume points, SURVEY §5). One flat npz pytree:
+        canonical volume (incl. brick table), graph, warp transforms,
+        and model points. The motion-GNN history ring is deliberately
+        not persisted — it re-fills within 16 frames (its warmup
+        semantics match a fresh sequence start at the resume frame)."""
+        from occlusionfusion_tpu.utils.snapshot import save_pytree
+
+        tree = {
+            "tsdf": dict(self.tsdf._asdict()),
+            "rotations": self.warp.rotations,
+            "translations": self.warp.translations,
+            "nodes": self.nodes,
+            "node_valid": self.node_valid,
+            "edges": self.edges,
+            "edge_weights": self.edge_weights,
+            "node_count": np.asarray(self.node_count, np.int32),
+            "model_points": self.model_points,
+            "model_valid": self.model_valid,
+            "frame_id": np.asarray(self.frame_id, np.int32),
+            "vol_dim": np.asarray(self.config.vol_dim, np.int32),
+            "voxel_size": np.asarray(self.config.voxel_size, np.float32),
+        }
+        if self.brick_grid is not None:
+            tree["brick_ids"] = np.asarray(self.brick_ids)
+        if self.motion_runner is not None:
+            # persist the GNN history ring (the reference's resume also
+            # restores history — it re-reads the per-frame node npys,
+            # run_motion_model.py:78-79)
+            tree["motion_state"] = dict(self.motion_runner.state._asdict())
+        save_pytree(path, tree)
+
+    def load_state(self, path: str):
+        """Resume from ``save_state`` output: rebuild device state and
+        all derived tables (skinning, voxel points) under the current
+        config, which must match the snapshot's volume geometry."""
+        from occlusionfusion_tpu.fusion import bricks as BR
+        from occlusionfusion_tpu.utils.snapshot import load_params
+
+        cfg = self.config
+        tree = load_params(path)
+        assert tuple(int(x) for x in tree["vol_dim"]) == tuple(
+            cfg.vol_dim
+        ), "snapshot volume dims do not match the config"
+        trunc = cfg.trunc_margin_vox * cfg.voxel_size
+        self.tsdf_config = T.TSDFConfig(
+            vol_dim=cfg.vol_dim, voxel_size=cfg.voxel_size,
+            trunc_margin=trunc,
+        )
+        td = tree["tsdf"]
+        self.tsdf = T.TSDFState(
+            tsdf=jnp.asarray(td["tsdf"]),
+            weight=jnp.asarray(td["weight"]),
+            color=jnp.asarray(td["color"]),
+            origin=jnp.asarray(td["origin"]),
+        )
+        if "brick_ids" in tree:
+            assert cfg.brick_size, (
+                "snapshot is bricked but config.brick_size == 0"
+            )
+            self.brick_grid = BR.BrickGrid(
+                vol_dim=cfg.vol_dim, voxel_size=cfg.voxel_size,
+                brick=cfg.brick_size, max_bricks=cfg.max_bricks,
+            )
+            self.brick_ids = np.asarray(tree["brick_ids"], np.int32)
+            vox_np, bvalid = BR.brick_voxel_points(
+                self.brick_grid, np.asarray(td["origin"]), self.brick_ids
+            )
+            self.vox_points = jnp.asarray(vox_np)
+            self.brick_valid = jnp.asarray(bvalid)
+        else:
+            self.brick_grid = None
+            self.vox_points = T.voxel_world_points(
+                self.tsdf_config, self.tsdf.origin
+            )
+            self.brick_valid = jnp.ones(self.vox_points.shape[0], bool)
+        self.nodes = jnp.asarray(tree["nodes"])
+        self.node_valid = jnp.asarray(tree["node_valid"])
+        self.edges = jnp.asarray(tree["edges"])
+        self.edge_weights = jnp.asarray(tree["edge_weights"])
+        self.node_count = int(tree["node_count"])
+        self.warp = W.WarpFieldState(
+            node_positions=self.nodes,
+            node_valid=self.node_valid,
+            rotations=jnp.asarray(tree["rotations"]),
+            translations=jnp.asarray(tree["translations"]),
+        )
+        self.prev_R = self.warp.rotations
+        self.prev_t = self.warp.translations
+        self.model_points = jnp.asarray(tree["model_points"])
+        self.model_valid = jnp.asarray(tree["model_valid"])
+        self.point_table = W.skin(
+            self.warp, self.model_points, cfg.node_coverage
+        )
+        self.vox_table = self._skin_vox()
+        self.frame_id = int(tree["frame_id"])
+        if self.motion_runner is not None:
+            self.motion_runner.reset()
+            if "motion_state" in tree:
+                from occlusionfusion_tpu.fusion.motion_runner import (
+                    MotionRunnerState,
+                )
+
+                self.motion_runner.state = MotionRunnerState(
+                    **{
+                        k: jnp.asarray(v)
+                        for k, v in tree["motion_state"].items()
+                    }
+                )
+            # rebuild the host graph pyramid for the motion model
+            from types import SimpleNamespace
+
+            from occlusionfusion_tpu.graph.edgraph import (
+                build_pyramid_from_nodes,
+            )
+
+            self.graph = SimpleNamespace(
+                pyramid=build_pyramid_from_nodes(
+                    np.asarray(self.nodes[: self.node_count]),
+                    cfg.graph.node_coverage,
+                    edges=np.asarray(self.edges[: self.node_count]),
+                )
+            )
+        self.keyframes = []
+
     def get_deformed_mesh(self):
         """Marching cubes on the canonical TSDF, warped to current frame."""
         verts, faces = self._extract_mesh_host()

@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--loop_radius", type=float, default=0.3,
                     help="loop-closure search radius between keyframe"
                          " poses (m)")
+    ap.add_argument("--save_state", default=None,
+                    help="write a resumable state snapshot here at the end")
+    ap.add_argument("--resume_state", default=None,
+                    help="resume from a --save_state snapshot instead of "
+                         "initializing from the source frame")
     ap.add_argument("--brick_size", type=int, default=0,
                     help="sparse bricked TSDF: brick edge in voxels "
                          "(0 = dense grid)")
@@ -153,12 +158,19 @@ def main():
     os.makedirs(args.results, exist_ok=True)
     end = args.end_frame or len(seq)
     t0 = time.perf_counter()
-    fusion.initialize(seq.load(args.source_frame))
-    print(f"initialized: {fusion.node_count} nodes "
-          f"({time.perf_counter() - t0:.1f}s)")
+    if args.resume_state:
+        fusion.load_state(args.resume_state)
+        start = fusion.frame_id + args.skip_rate
+        print(f"resumed at frame {fusion.frame_id}: {fusion.node_count} "
+              f"nodes ({time.perf_counter() - t0:.1f}s)")
+    else:
+        fusion.initialize(seq.load(args.source_frame))
+        start = args.source_frame + args.skip_rate
+        print(f"initialized: {fusion.node_count} nodes "
+              f"({time.perf_counter() - t0:.1f}s)")
 
     infos = []
-    for i in range(args.source_frame + args.skip_rate, end, args.skip_rate):
+    for i in range(start, end, args.skip_rate):
         t0 = time.perf_counter()
         info = fusion.register_frame(seq.load(i))
         info["frame"] = i
@@ -183,6 +195,9 @@ def main():
                  frame_ids=ids, rotations=R, translations=t)
     verts, faces = fusion.get_deformed_mesh()
     save_ply(os.path.join(args.results, "final_mesh.ply"), verts, faces)
+    if args.save_state:
+        fusion.save_state(args.save_state)
+        print(f"state snapshot -> {args.save_state}")
     print(f"done; results in {args.results}")
 
 

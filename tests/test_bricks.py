@@ -209,3 +209,55 @@ def test_bricked_pipeline_e2e(tmp_path):
 
     d, _ = knn(jnp.asarray(vb), jnp.asarray(vd), k=1)
     assert float(jnp.median(jnp.sqrt(d))) < 0.008
+
+
+def test_save_resume_state(tmp_path):
+    """Interrupted run + resume must match the uninterrupted run."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_fusion_e2e import make_sequence
+
+    from occlusionfusion_tpu.fusion.pipeline import (
+        DynamicFusion,
+        FusionConfig,
+    )
+    from occlusionfusion_tpu.graph.edgraph import GraphConfig
+    from occlusionfusion_tpu.solvers.nicp import NICPConfig
+
+    seq, _ = make_sequence(n_frames=6)
+    for brick in (0, 8):
+        cfg = FusionConfig(
+            vol_dim=(48, 48, 48), voxel_size=0.008, node_coverage=0.03,
+            max_nodes=128, max_points=2048, max_depth_diff=0.05,
+            graph=GraphConfig(node_coverage=0.03, min_neighbors=2),
+            nicp=NICPConfig(iters=30, w_motion=0.0, lr=0.02),
+            use_motion_model=False, brick_size=brick, max_bricks=256,
+        )
+        full = DynamicFusion(seq, cfg)
+        full.initialize(seq.load(0))
+        for i in range(1, 5):
+            full.register_frame(seq.load(i))
+
+        first = DynamicFusion(seq, cfg)
+        first.initialize(seq.load(0))
+        for i in range(1, 3):
+            first.register_frame(seq.load(i))
+        snap = str(tmp_path / f"state_{brick}.npz")
+        first.save_state(snap)
+
+        resumed = DynamicFusion(seq, cfg)
+        resumed.load_state(snap)
+        assert resumed.frame_id == 2
+        for i in range(3, 5):
+            resumed.register_frame(seq.load(i))
+
+        np.testing.assert_allclose(
+            np.asarray(resumed.warp.translations),
+            np.asarray(full.warp.translations),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.tsdf.tsdf),
+            np.asarray(full.tsdf.tsdf),
+            atol=1e-5,
+        )
