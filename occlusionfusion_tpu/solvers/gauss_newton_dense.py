@@ -162,30 +162,58 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
     P, K = problem.point_anchors.shape
 
     # ---- point term (identical jacobian blocks to _assemble)
-    x = problem.source_points
-    g = problem.nodes[problem.point_anchors]
-    Rk = R[problem.point_anchors]
-    tk = t[problem.point_anchors]
-    local = jnp.einsum(
-        "pkij,pkj->pki", Rk, x[:, None] - g, precision="highest"
-    )
-    w = problem.point_weights * problem.point_valid[:, None]
     sw = jnp.sqrt(jnp.asarray(config.w_point, jnp.float32))
-    warped = jnp.sum(
-        problem.point_weights[..., None] * (local + g + tk), axis=1
-    )
-    r_pt = sw * problem.point_valid[:, None] * (warped - problem.target_points)
-    Jw = -hat(local) * w[..., None, None]
-    Jt = jnp.broadcast_to(jnp.eye(3), (P, K, 3, 3)) * w[..., None, None]
-    J = sw * jnp.concatenate([Jw, Jt], axis=-1)  # [P, K, 3, 6]
+    if config.assembly == "blocks_pallas" and K == 4:
+        # fused Pallas kernel: jacobian build + pair blocks + rhs +
+        # residual in one pass (ops/gn_assembly.py); the XLA branch
+        # below is its cross-validated twin
+        import math
 
-    blk = jnp.einsum(
-        "pkai,plaj->pklij", J, J, precision=config.normal_matrix_precision
-    )  # [P, K, K, 6, 6]
+        from occlusionfusion_tpu.ops.gn_assembly import (
+            point_term_blocks_pallas,
+        )
+
+        blk16, b_pt, rsq = point_term_blocks_pallas(
+            problem.source_points,
+            problem.target_points,
+            problem.point_valid,
+            problem.point_anchors,
+            problem.point_weights,
+            problem.nodes,
+            R,
+            t,
+            sw=math.sqrt(float(config.w_point)),
+        )
+        blk = blk16.reshape(P, K, K, 6, 6)
+        sq = jnp.sum(rsq)
+    else:
+        x = problem.source_points
+        g = problem.nodes[problem.point_anchors]
+        Rk = R[problem.point_anchors]
+        tk = t[problem.point_anchors]
+        local = jnp.einsum(
+            "pkij,pkj->pki", Rk, x[:, None] - g, precision="highest"
+        )
+        w = problem.point_weights * problem.point_valid[:, None]
+        warped = jnp.sum(
+            problem.point_weights[..., None] * (local + g + tk), axis=1
+        )
+        r_pt = (
+            sw * problem.point_valid[:, None]
+            * (warped - problem.target_points)
+        )
+        Jw = -hat(local) * w[..., None, None]
+        Jt = jnp.broadcast_to(jnp.eye(3), (P, K, 3, 3)) * w[..., None, None]
+        J = sw * jnp.concatenate([Jw, Jt], axis=-1)  # [P, K, 3, 6]
+
+        blk = jnp.einsum(
+            "pkai,plaj->pklij", J, J,
+            precision=config.normal_matrix_precision,
+        )  # [P, K, K, 6, 6]
+        b_pt = jnp.einsum("pkai,pa->pki", J, r_pt, precision="highest")
+        sq = jnp.sum(r_pt * r_pt)
     a = problem.point_anchors.astype(jnp.int32)
     seg_pt = (a[:, :, None] * n + a[:, None, :]).reshape(-1)
-    b_pt = jnp.einsum("pkai,pa->pki", J, r_pt, precision="highest")
-    sq = jnp.sum(r_pt * r_pt)
 
     # ---- ARAP term
     E_k = problem.edges.shape[1]
@@ -358,7 +386,7 @@ def solve_dense(
 
     def gn_step(carry, _):
         R, t, ok = carry
-        if config.assembly == "blocks":
+        if config.assembly in ("blocks", "blocks_pallas"):
             M, b, sq = _assemble_blocks(problem, config, R, t)
         else:
             M, b, sq = _assemble(problem, config, R, t)

@@ -107,8 +107,15 @@ def main():
 
         return body
 
+    def with_assembly(name):
+        def fn(problem, c, R, t, _n=name):
+            return _assemble_blocks(problem, c._replace(assembly=_n), R, t)
+
+        return fn
+
     for name, fn in (
         ("blocks", _assemble_blocks),
+        ("blocks_pallas", with_assembly("blocks_pallas")),
         ("dense_j", _assemble),
     ):
         dt = slope_time(
@@ -163,21 +170,24 @@ def main():
         note(f"{'  -> per iteration':44s} {dt / K * 1e3:8.3f} ms")
 
     # full production solve (4 GN iters) in a K-chunk scan
-    @jax.jit
-    def full(carry):
-        def f(t, _):
-            res = solve_dense(problem, cfg, init_translations=t)
-            return res.translations * 1e-6, None
+    for asm in ("blocks", "blocks_pallas"):
+        cfg_a = cfg._replace(assembly=asm)
 
-        c, _ = jax.lax.scan(f, carry, None, length=K)
-        return c
+        @jax.jit
+        def full(carry, _cfg=cfg_a):
+            def f(t, _):
+                res = solve_dense(problem, _cfg, init_translations=t)
+                return res.translations * 1e-6, None
 
-    dt = slope_time(
-        f"full solve_dense(4 iters) x{K} in scan", full,
-        lambda: jnp.zeros((n_nodes, 3), jnp.float32),
-        lambda c: float(c[0, 0]),
-    )
-    note(f"{'  -> per 4-iter solve':44s} {dt / K * 1e3:8.3f} ms")
+            c, _ = jax.lax.scan(f, carry, None, length=K)
+            return c
+
+        dt = slope_time(
+            f"full solve_dense(4 iters, {asm}) x{K} in scan", full,
+            lambda: jnp.zeros((n_nodes, 3), jnp.float32),
+            lambda c: float(c[0, 0]),
+        )
+        note(f"{'  -> per 4-iter solve':44s} {dt / K * 1e3:8.3f} ms")
 
 
 if __name__ == "__main__":
