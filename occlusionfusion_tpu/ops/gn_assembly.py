@@ -1,12 +1,13 @@
-"""Pallas fused point-term GN assembly (the north-star "JtJ block
-assembly" kernel).
+"""Pallas fused GN assembly kernels (the north-star "JtJ block
+assembly" kernels): one for the point data term, one for the ARAP edge
+term.
 
-The dense-GN iteration is assembly-bound on TPU: building the point-term
-jacobian blocks takes ~15 unfused XLA ops (anchor gathers, small
+The dense-GN iteration is assembly-bound on TPU: building the jacobian
+blocks takes ~15 unfused XLA ops per term (anchor gathers, small
 einsums, concats), each paying dispatch/bandwidth latency — measured
 9.5 ms/iter at the 512-node cap, 2.8 at 128, while the true FLOPs are
-trivial. This kernel fuses the whole point-term pipeline into ONE pass
-over point tiles:
+trivial. ``point_term_blocks_pallas`` fuses the whole point-term
+pipeline into ONE pass over point tiles:
 
   fetch per-anchor node data (R, g, t) by one-hot MXU matmuls (no
   gathers — same trick as ops/lbs.py), build the analytic jacobian
@@ -15,6 +16,13 @@ over point tiles:
       the scatter's (k, l) row-major segment order
     * the rhs contributions         J_k^T r    [T, 24]
     * the squared residual          r^T r      [T, 1]
+
+``arap_term_blocks_pallas`` does the same for the ARAP edge term over
+node tiles: fetch neighbor (g, t) rows by one-hot matmuls, build the
+edge residual + Ji/Jj jacobians, and emit the diagonal ii block (summed
+over edges), the ij/ji/jj scatter blocks, both rhs contributions, and
+the squared residual — replacing ~12 XLA ops (gathers, 3 einsums, a
+block transpose) with one pass.
 
 The caller (solvers/gauss_newton_dense.py) reshapes the pair blocks
 straight into scatter rows for the [N, N] block table — exactly like
@@ -127,6 +135,19 @@ def _assembly_kernel(pts_ref, tgt_ref, anchors_ref, weights_ref,
     sq_ref[:, 0] = r[0] * r[0] + r[1] * r[1] + r[2] * r[2]
 
 
+def _pack_node_table(nodes, R, t):
+    """[n_pad, 128] node table (R 9 | g 3 | t 3 | zeros) as f32 plus the
+    bf16 hi/lo split — shared by the point- and ARAP-term kernels (XLA
+    CSEs the packing when both run in one program)."""
+    N = nodes.shape[0]
+    n_pad = -(-N // 128) * 128
+    nd = jnp.concatenate([R.reshape(N, 9), nodes, t], axis=-1)  # [N, 15]
+    nd = jnp.pad(nd, ((0, n_pad - N), (0, 128 - 15)))
+    nd_hi = nd.astype(jnp.bfloat16)
+    nd_lo = (nd - nd_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return nd, nd_hi, nd_lo
+
+
 def point_term_blocks_pallas(
     points: jnp.ndarray,  # [P, 3]
     targets: jnp.ndarray,  # [P, 3]
@@ -146,12 +167,7 @@ def point_term_blocks_pallas(
     N = nodes.shape[0]
     n_pad = -(-N // 128) * 128
 
-    nd = jnp.concatenate(
-        [R.reshape(N, 9), nodes, t], axis=-1
-    )  # [N, 15]
-    nd = jnp.pad(nd, ((0, n_pad - N), (0, 128 - 15)))
-    nd_hi = nd.astype(jnp.bfloat16)
-    nd_lo = (nd - nd_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    _, nd_hi, nd_lo = _pack_node_table(nodes, R, t)
 
     p_pad = -(-P // tile) * tile
     pts4 = jnp.pad(points.astype(jnp.float32), ((0, p_pad - P), (0, 1)))
@@ -207,3 +223,180 @@ def point_term_blocks_pallas(
     b = bvec[:P, :24].reshape(P, K, 6)
     rsq = sq[:P, 0]
     return blk, b, rsq
+
+
+def _arap_kernel(own_ref, edges_ref, wa_ref, nd_hi_ref, nd_lo_ref,
+                 ii_ref, ij_ref, ji_ref, jj_ref, bi_ref, bj_ref, sq_ref,
+                 *, n_pad: int, e_k: int):
+    T = own_ref.shape[0]
+    node_ids = jax.lax.broadcasted_iota(jnp.int32, (T, n_pad), 1)
+    own = own_ref[:]
+    Ri = [[own[:, 3 * r + c] for c in range(3)] for r in range(3)]
+    gi = [own[:, 9 + c] for c in range(3)]
+    ti = [own[:, 12 + c] for c in range(3)]
+    zero = jnp.zeros((T,), jnp.float32)
+
+    ii = [[zero for _ in range(6)] for _ in range(6)]
+    bi = [zero for _ in range(6)]
+    sq = zero
+    for k in range(e_k):
+        a = edges_ref[:, k][:, None]
+        onehot = (node_ids == a).astype(jnp.bfloat16)
+        gj_hi = jax.lax.dot_general(
+            onehot, nd_hi_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gj_lo = jax.lax.dot_general(
+            onehot, nd_lo_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        Gj = gj_hi + gj_lo
+        gj = [Gj[:, 9 + c] for c in range(3)]
+        tj = [Gj[:, 12 + c] for c in range(3)]
+        wa = wa_ref[:, k]
+        d = [gj[c] - gi[c] for c in range(3)]
+        rot = [
+            Ri[r][0] * d[0] + Ri[r][1] * d[1] + Ri[r][2] * d[2]
+            for r in range(3)
+        ]
+        # residual r = wa * (rot + g_i + t_i - g_j - t_j)
+        r = [wa * (rot[c] + gi[c] + ti[c] - gj[c] - tj[c]) for c in range(3)]
+        # Ji = wa * [-hat(rot) | I]  (rows a, cols i)
+        rx, ry, rz = rot
+        nh = [
+            [zero, rz * wa, -(ry * wa)],
+            [-(rz * wa), zero, rx * wa],
+            [ry * wa, -(rx * wa), zero],
+        ]
+        Jik = []
+        for a_row in range(3):
+            row = [nh[a_row][0], nh[a_row][1], nh[a_row][2],
+                   zero, zero, zero]
+            row[3 + a_row] = wa
+            Jik.append(row)
+        # diagonal block ii += Ji^T Ji
+        for i in range(6):
+            for j in range(6):
+                ii[i][j] = ii[i][j] + (
+                    Jik[0][i] * Jik[0][j]
+                    + Jik[1][i] * Jik[1][j]
+                    + Jik[2][i] * Jik[2][j]
+                )
+        # Jj = wa * [0 | -I] -> ij[i][3+b] = -wa * Ji[b][i]; ji = ij^T;
+        # jj = wa^2 on the translation diagonal
+        wa2 = wa * wa
+        for i in range(6):
+            for j in range(6):
+                if j >= 3:
+                    v = -(wa * Jik[j - 3][i])
+                else:
+                    v = zero
+                ij_ref[:, k * 36 + i * 6 + j] = v
+                ji_ref[:, k * 36 + j * 6 + i] = v
+                jj_ref[:, k * 36 + i * 6 + j] = (
+                    wa2 if (i == j and i >= 3) else zero
+                )
+        for i in range(6):
+            bi[i] = bi[i] + (
+                Jik[0][i] * r[0] + Jik[1][i] * r[1] + Jik[2][i] * r[2]
+            )
+            bj_ref[:, k * 6 + i] = (
+                -(wa * r[i - 3]) if i >= 3 else zero
+            )
+        sq = sq + r[0] * r[0] + r[1] * r[1] + r[2] * r[2]
+
+    for i in range(6):
+        for j in range(6):
+            ii_ref[:, i * 6 + j] = ii[i][j]
+        bi_ref[:, i] = bi[i]
+    sq_ref[:, 0] = sq
+
+
+def arap_term_blocks_pallas(
+    nodes: jnp.ndarray,  # [N, 3]
+    R: jnp.ndarray,  # [N, 3, 3]
+    t: jnp.ndarray,  # [N, 3]
+    edges: jnp.ndarray,  # [N, E_k] (clamped >= 0)
+    wa: jnp.ndarray,  # [N, E_k] sqrt(w_arap * edge_weight), 0 at invalid
+    tile: int = 512,
+):
+    """Fused ARAP-term assembly: per-(node, edge) residual + jacobian +
+    all four 6x6 block products + rhs in one Pallas pass over node
+    tiles. Returns (ii [N,6,6] diag-add, ij/ji/jj [N,E_k,6,6] scatter
+    blocks, b_i [N,6], b_j [N,E_k,6], rsq [N])."""
+    N, E_k = edges.shape
+    n_pad = -(-N // 128) * 128
+    nd, nd_hi, nd_lo = _pack_node_table(nodes, R, t)
+    tile = min(tile, n_pad)
+    edges_p = jnp.pad(edges.astype(jnp.int32), ((0, n_pad - N), (0, 0)))
+    wa_p = jnp.pad(wa.astype(jnp.float32), ((0, n_pad - N), (0, 0)))
+
+    outs = pl.pallas_call(
+        functools.partial(_arap_kernel, n_pad=n_pad, e_k=E_k),
+        grid=(n_pad // tile,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, E_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, E_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile, 36), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, E_k * 36), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, E_k * 36), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, E_k * 36), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, 6), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, E_k * 6), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 36), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, E_k * 36), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, E_k * 36), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, E_k * 36), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 6), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, E_k * 6), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ],
+    )(nd, edges_p, wa_p, nd_hi, nd_lo)
+    ii, ij, ji, jj, bi, bj, sq = outs
+    return (
+        ii[:N].reshape(N, 6, 6),
+        ij[:N].reshape(N, E_k, 6, 6),
+        ji[:N].reshape(N, E_k, 6, 6),
+        jj[:N].reshape(N, E_k, 6, 6),
+        bi[:N],
+        bj[:N].reshape(N, E_k, 6),
+        sq[:N, 0],
+    )

@@ -218,31 +218,51 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
     # ---- ARAP term
     E_k = problem.edges.shape[1]
     e = jnp.maximum(problem.edges, 0).astype(jnp.int32)
-    g_i = problem.nodes[:, None]
-    g_j = problem.nodes[e]
-    rot = jnp.einsum("nij,nkj->nki", R, g_j - g_i, precision="highest")
-    r_arap = rot + g_i + t[:, None] - g_j - t[e]
     wa = jnp.sqrt(
         jnp.asarray(config.w_arap, jnp.float32)
         * jnp.where(problem.edges >= 0, problem.edge_weights, 0.0)
     )
-    r_arap = wa[..., None] * r_arap
-    Ji = jnp.concatenate(
-        [-hat(rot), jnp.broadcast_to(jnp.eye(3), (n, E_k, 3, 3))], axis=-1
-    ) * wa[..., None, None]  # [N, Ke, 3, 6]
-    Jj = jnp.concatenate(
-        [
-            jnp.zeros((n, E_k, 3, 3)),
-            -jnp.broadcast_to(jnp.eye(3), (n, E_k, 3, 3)),
-        ],
-        axis=-1,
-    ) * wa[..., None, None]
-    prec = config.normal_matrix_precision
-    ii = jnp.sum(
-        jnp.einsum("neai,neaj->neij", Ji, Ji, precision=prec), axis=1
-    )  # [N, 6, 6] — diagonal blocks, direct add
-    jj = jnp.einsum("neai,neaj->neij", Jj, Jj, precision=prec)
-    ij = jnp.einsum("neai,neaj->neij", Ji, Jj, precision=prec)
+    if config.assembly == "blocks_pallas":
+        from occlusionfusion_tpu.ops.gn_assembly import (
+            arap_term_blocks_pallas,
+        )
+
+        ii, ij, ji, jj, b_arap_i, b_arap_j, rsq_a = arap_term_blocks_pallas(
+            problem.nodes, R, t, e, wa
+        )
+        sq_arap = jnp.sum(rsq_a)
+    else:
+        g_i = problem.nodes[:, None]
+        g_j = problem.nodes[e]
+        rot = jnp.einsum("nij,nkj->nki", R, g_j - g_i, precision="highest")
+        r_arap = rot + g_i + t[:, None] - g_j - t[e]
+        r_arap = wa[..., None] * r_arap
+        Ji = jnp.concatenate(
+            [-hat(rot), jnp.broadcast_to(jnp.eye(3), (n, E_k, 3, 3))],
+            axis=-1,
+        ) * wa[..., None, None]  # [N, Ke, 3, 6]
+        Jj = jnp.concatenate(
+            [
+                jnp.zeros((n, E_k, 3, 3)),
+                -jnp.broadcast_to(jnp.eye(3), (n, E_k, 3, 3)),
+            ],
+            axis=-1,
+        ) * wa[..., None, None]
+        prec = config.normal_matrix_precision
+        ii = jnp.sum(
+            jnp.einsum("neai,neaj->neij", Ji, Ji, precision=prec), axis=1
+        )  # [N, 6, 6] — diagonal blocks, direct add
+        jj = jnp.einsum("neai,neaj->neij", Jj, Jj, precision=prec)
+        ij = jnp.einsum("neai,neaj->neij", Ji, Jj, precision=prec)
+        ji = ij.transpose(0, 1, 3, 2)
+        b_arap_j = jnp.einsum(
+            "neai,nea->nei", Jj, r_arap, precision="highest"
+        )
+        b_arap_i = jnp.sum(
+            jnp.einsum("neai,nea->nei", Ji, r_arap, precision="highest"),
+            axis=1,
+        )
+        sq_arap = jnp.sum(r_arap * r_arap)
     idx_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, E_k))
     seg_ij = (idx_i * n + e).reshape(-1)
     seg_ji = (e * n + idx_i).reshape(-1)
@@ -250,7 +270,6 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
     diag_seg = jnp.arange(n, dtype=jnp.int32) * n + jnp.arange(
         n, dtype=jnp.int32
     )
-    ji = ij.transpose(0, 1, 3, 2)
     # ONE fused scatter for all off-diagonal/pair contributions (point
     # K^2 pairs + ARAP ij/ji/jj) — each segment_sum is a dependent
     # scatter pass on TPU, so batching them shortens the per-iteration
@@ -269,18 +288,13 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
         all_blocks, all_segs, num_segments=n * n
     )
     M_blocks = M_blocks.at[diag_seg].add(ii.reshape(-1, 36))
-    b_arap_j = jnp.einsum(
-        "neai,nea->nei", Jj, r_arap, precision="highest"
-    )
     b_nodes = jax.ops.segment_sum(
         jnp.concatenate([b_pt.reshape(-1, 6), b_arap_j.reshape(-1, 6)]),
         jnp.concatenate([a.reshape(-1), e.reshape(-1)]),
         num_segments=n,
     )
-    b_nodes = b_nodes + jnp.sum(
-        jnp.einsum("neai,nea->nei", Ji, r_arap, precision="highest"), axis=1
-    )
-    sq = sq + jnp.sum(r_arap * r_arap)
+    b_nodes = b_nodes + b_arap_i
+    sq = sq + sq_arap
 
     # ---- motion prior (translation diagonal)
     if config.w_motion:
