@@ -165,6 +165,12 @@ def solve_distributed(
             local.point_anchors,
             local.point_weights,
         )
+        # mask invalid nodes INSIDE the jitted region: eager ops on the
+        # outputs would require every mesh device to be addressable,
+        # which is false under multi-process jax.distributed
+        eye = jnp.eye(3, dtype=jnp.float32)
+        R = jnp.where(local.node_valid[:, None, None], R, eye)
+        t = jnp.where(local.node_valid[:, None], t, 0.0)
         return R, t, warped_local, hist, ok
 
     sharded_problem = jax.device_put(
@@ -172,9 +178,6 @@ def solve_distributed(
         GNProblem(*[NamedSharding(mesh, s) for s in point_spec]),
     )
     R, t, warped, hist, ok = jax.jit(run)(sharded_problem)
-    eye = jnp.eye(3, dtype=jnp.float32)
-    R = jnp.where(problem.node_valid[:, None, None], R, eye)
-    t = jnp.where(problem.node_valid[:, None], t, 0.0)
     return GNResult(
         rotations=R,
         translations=t,
