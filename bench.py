@@ -120,7 +120,7 @@ def bench_fusion():
         w_point=1.0, w_arap=2.0,
         w_motion=1.0 if os.environ.get("BENCH_MOTION") == "1" else 0.0,
         linear_solver=os.environ.get("BENCH_LINSOLVE", "cholesky"),
-        assembly=os.environ.get("BENCH_ASSEMBLY", "blocks"),
+        assembly=os.environ.get("BENCH_ASSEMBLY", "auto"),
         normal_matrix_precision=os.environ.get("BENCH_APREC", "highest"),
     )
     vol = int(os.environ.get("BENCH_VOL", "64"))

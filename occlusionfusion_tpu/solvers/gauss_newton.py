@@ -61,16 +61,21 @@ class GNConfig(NamedTuple):
     ns_iters: int = 12
     ns_block: int = 96
     # normal-equation assembly for the dense path:
+    # "auto" — "blocks_pallas" on TPU (when K == 4), "blocks" elsewhere
     # "blocks" — 6x6 blocks per (anchor, anchor) pair accumulated by
     #         segment_sum into the [N, N] block table; true-FLOP work.
     #         Measured (v5e, 4-iter solve, slope+readback): 13.0 ms at
-    #         the 128-node cap / 33.6 ms at 512.
+    #         the 128-node cap / 33.6-44.4 ms at 512.
+    # "blocks_pallas" — same block table, but the per-term jacobian
+    #         build + pair products + rhs fused into two Pallas kernels
+    #         (ops/gn_assembly.py). Measured 32.7 ms per 4-iter solve at
+    #         the 512 cap (vs 44.4 "blocks").
     # "dense_j" — scatter jacobian blocks into one dense row-stacked J
     #         via one-hot matmuls, then M = J^T J as a single big einsum;
     #         the J^T J multiplies ~99% zeros — O((P + N Ke) N) MXU work
     #         (16.6 ms at 128 / 113.5 ms at 512 with bf16 A). Kept as
     #         the cross-validation twin.
-    assembly: str = "blocks"
+    assembly: str = "auto"
     # precision of the J^T J contraction in the dense assembly (the
     # heaviest MXU work per GN iteration). The curvature matrix only
     # steers the step direction — LM damping + the exact residual/

@@ -147,6 +147,18 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
     return M, b, sq
 
 
+def _resolve_assembly(config: GNConfig) -> str:
+    """'auto' -> Pallas fused assembly on TPU, XLA blocks elsewhere
+    (Pallas interpret mode on CPU is orders of magnitude slower)."""
+    if config.assembly == "auto":
+        return (
+            "blocks_pallas"
+            if jax.default_backend() == "tpu"
+            else "blocks"
+        )
+    return config.assembly
+
+
 def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
     """Block-scatter assembly: mathematically identical to ``_assemble``
     but never materializes the dense row-stacked jacobian. Each residual
@@ -162,8 +174,9 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
     P, K = problem.point_anchors.shape
 
     # ---- point term (identical jacobian blocks to _assemble)
+    assembly = _resolve_assembly(config)
     sw = jnp.sqrt(jnp.asarray(config.w_point, jnp.float32))
-    if config.assembly == "blocks_pallas" and K == 4:
+    if assembly.startswith("blocks_pallas") and K == 4:
         # fused Pallas kernel: jacobian build + pair blocks + rhs +
         # residual in one pass (ops/gn_assembly.py); the XLA branch
         # below is its cross-validated twin
@@ -222,7 +235,13 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
         jnp.asarray(config.w_arap, jnp.float32)
         * jnp.where(problem.edges >= 0, problem.edge_weights, 0.0)
     )
-    if config.assembly == "blocks_pallas":
+    # NB: the fused ARAP kernel measured slightly SLOWER than the XLA
+    # ARAP ops inside the full solve at cap 512 (34.4 vs 32.7 ms per
+    # 4-iter solve) — the edge term is tiny (N*Ke rows vs P*K^2) and XLA
+    # overlaps its small einsums well, so "blocks_pallas" (the auto
+    # choice) fuses only the point term; "blocks_pallas_full" keeps the
+    # ARAP kernel selectable for larger edge budgets.
+    if assembly == "blocks_pallas_full":
         from occlusionfusion_tpu.ops.gn_assembly import (
             arap_term_blocks_pallas,
         )
@@ -400,7 +419,7 @@ def solve_dense(
 
     def gn_step(carry, _):
         R, t, ok = carry
-        if config.assembly in ("blocks", "blocks_pallas"):
+        if config.assembly != "dense_j":
             M, b, sq = _assemble_blocks(problem, config, R, t)
         else:
             M, b, sq = _assemble(problem, config, R, t)

@@ -116,6 +116,7 @@ def main():
     for name, fn in (
         ("blocks", _assemble_blocks),
         ("blocks_pallas", with_assembly("blocks_pallas")),
+        ("blocks_pallas_full", with_assembly("blocks_pallas_full")),
         ("dense_j", _assemble),
     ):
         dt = slope_time(
@@ -170,7 +171,7 @@ def main():
         note(f"{'  -> per iteration':44s} {dt / K * 1e3:8.3f} ms")
 
     # full production solve (4 GN iters) in a K-chunk scan
-    for asm in ("blocks", "blocks_pallas"):
+    for asm in ("blocks", "blocks_pallas", "blocks_pallas_full"):
         cfg_a = cfg._replace(assembly=asm)
 
         @jax.jit

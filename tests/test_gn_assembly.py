@@ -37,18 +37,19 @@ def test_pallas_assembly_matches_xla(interp):
     for wm in (0.0, 1.5):
         cfg_x = GNConfig(iters=1, w_point=1.7, w_arap=2.1, w_motion=wm,
                          assembly="blocks")
-        cfg_p = cfg_x._replace(assembly="blocks_pallas")
         M1, b1, sq1 = _assemble_blocks(problem, cfg_x, R, t)
-        M2, b2, sq2 = _assemble_blocks(problem, cfg_p, R, t)
         scale = float(jnp.max(jnp.abs(M1))) + 1e-12
-        np.testing.assert_allclose(
-            np.asarray(M2), np.asarray(M1), atol=5e-5 * scale
-        )
-        np.testing.assert_allclose(
-            np.asarray(b2), np.asarray(b1),
-            atol=5e-5 * (float(jnp.max(jnp.abs(b1))) + 1e-12),
-        )
-        np.testing.assert_allclose(float(sq2), float(sq1), rtol=2e-5)
+        for asm in ("blocks_pallas", "blocks_pallas_full"):
+            cfg_p = cfg_x._replace(assembly=asm)
+            M2, b2, sq2 = _assemble_blocks(problem, cfg_p, R, t)
+            np.testing.assert_allclose(
+                np.asarray(M2), np.asarray(M1), atol=5e-5 * scale
+            )
+            np.testing.assert_allclose(
+                np.asarray(b2), np.asarray(b1),
+                atol=5e-5 * (float(jnp.max(jnp.abs(b1))) + 1e-12),
+            )
+            np.testing.assert_allclose(float(sq2), float(sq1), rtol=2e-5)
 
 
 def test_pallas_assembly_solver_converges(interp):
