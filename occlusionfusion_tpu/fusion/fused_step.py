@@ -60,6 +60,10 @@ class FusionTables(NamedTuple):
     # DenseSkin halves); None -> fall back to Pallas/XLA LBS
     vox_dense_hi: jnp.ndarray = None  # [V, N_pad] bf16
     vox_dense_lo: jnp.ndarray = None  # [V, N_pad] bf16
+    # keyframe-static compact-pair scatter plan for the dense-GN block
+    # assembly (solvers/gauss_newton_dense.PairScatterPlan); None ->
+    # direct full-space segment_sum
+    gn_scatter_plan: tuple = None
 
 
 class FusionStepState(NamedTuple):
@@ -238,6 +242,7 @@ def _fused_register_frame_impl(
             gn_cfg,
             init_rotations=state.rotations,
             init_translations=state.translations,
+            scatter_plan=tables.gn_scatter_plan,
         )
     else:
         result = nicp.solve(

@@ -923,6 +923,18 @@ class DynamicFusion:
                 cap,
             )
             vox_dense = (ds.s_hi, ds.s_lo)
+        gn_plan = None
+        if cfg.solver == "gn_dense":
+            # keyframe-static compact-pair scatter plan for the dense-GN
+            # block assembly (anchors/edges are fixed until the next
+            # graph rebuild; overflow falls back to the direct scatter)
+            from occlusionfusion_tpu.solvers.gauss_newton_dense import (
+                build_pair_scatter_plan,
+            )
+
+            gn_plan = build_pair_scatter_plan(
+                self.point_table.anchors, self.edges, cap
+            )
         tables = FusionTables(
             vox_points=self.vox_points,
             vox_anchors=self.vox_table.anchors,
@@ -941,6 +953,7 @@ class DynamicFusion:
             n_nodes=jnp.int32(self.node_count),
             vox_dense_hi=vox_dense[0],
             vox_dense_lo=vox_dense[1],
+            gn_scatter_plan=gn_plan,
         )
         # copy into the state: fused_register_frame donates these buffers,
         # so the object-style fields must keep their own copies

@@ -24,6 +24,7 @@ cross-validate each other in tests.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +148,75 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
     return M, b, sq
 
 
+class PairScatterPlan(NamedTuple):
+    """Keyframe-static plan for the block-table scatter.
+
+    The (anchor, anchor) / (node, edge) pair segments of the dense-GN
+    assembly depend only on the skin/edge tables, which are fixed
+    between keyframe graph rebuilds — but the unsorted segment_sum into
+    the full [N*N] block table costs ~1.9 ms/iter at the 512 cap while
+    the occupied pairs are ~5-10% of N^2 (skinning is local). The plan
+    remaps every scatter row to a COMPACT pair slot (measured ~1.0 ms)
+    once per keyframe; each GN iteration then scatter-adds into the
+    compact table and expands it to [N*N] with one small scatter-set.
+
+    ``overflow`` flags more unique pairs than ``slot_segs`` has slots
+    (pathological graphs); the assembly then falls back to the direct
+    full-space scatter via lax.cond, so the plan is always safe.
+    """
+
+    compact_ids: jnp.ndarray  # [R] int32 row -> compact slot
+    slot_segs: jnp.ndarray  # [U] int32 slot -> N*N segment (n*n = unused)
+    overflow: jnp.ndarray  # [] bool
+
+
+def pair_segment_ids(point_anchors, edges, n):
+    """All scatter segment ids of ``_assemble_blocks`` in row order:
+    [point K^2 pairs | arap ij | arap ji | arap jj]."""
+    a = point_anchors.astype(jnp.int32)
+    e = jnp.maximum(edges, 0).astype(jnp.int32)
+    E_k = edges.shape[1]
+    seg_pt = (a[:, :, None] * n + a[:, None, :]).reshape(-1)
+    idx_i = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, E_k)
+    )
+    seg_ij = (idx_i * n + e).reshape(-1)
+    seg_ji = (e * n + idx_i).reshape(-1)
+    seg_jj = (e * n + e).reshape(-1)
+    return jnp.concatenate([seg_pt, seg_ij, seg_ji, seg_jj])
+
+
+@functools.partial(jax.jit, static_argnames=("n", "u_cap"))
+def build_pair_scatter_plan(
+    point_anchors, edges, n: int, u_cap: int = 0
+) -> PairScatterPlan:
+    """Build the compact-pair plan (jittable; runs once per keyframe).
+
+    ``u_cap`` 0 derives min(n*n, 64*n) — generous for 4-NN skinning
+    locality; overflow falls back to the direct scatter at solve time.
+    """
+    if u_cap <= 0:
+        u_cap = min(n * n, 64 * n)
+    segs = pair_segment_ids(point_anchors, edges, n)
+    order = jnp.argsort(segs)
+    s_sorted = segs[order]
+    newseg = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (s_sorted[1:] != s_sorted[:-1]).astype(jnp.int32)]
+    )
+    rank = jnp.cumsum(newseg) - 1  # compact slot per sorted row
+    n_unique = rank[-1] + 1
+    overflow = n_unique > u_cap
+    rank_c = jnp.minimum(rank, u_cap - 1)
+    compact_ids = jnp.zeros_like(segs).at[order].set(rank_c)
+    slot_segs = jnp.full((u_cap,), n * n, jnp.int32).at[rank_c].set(
+        s_sorted
+    )
+    return PairScatterPlan(
+        compact_ids=compact_ids, slot_segs=slot_segs, overflow=overflow
+    )
+
+
 def _resolve_assembly(config: GNConfig) -> str:
     """'auto' -> Pallas fused assembly on TPU, XLA blocks elsewhere
     (Pallas interpret mode on CPU is orders of magnitude slower)."""
@@ -159,7 +229,8 @@ def _resolve_assembly(config: GNConfig) -> str:
     return config.assembly
 
 
-def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
+def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t,
+                     plan: PairScatterPlan | None = None):
     """Block-scatter assembly: mathematically identical to ``_assemble``
     but never materializes the dense row-stacked jacobian. Each residual
     contributes 6x6 blocks at its (anchor, anchor) pairs, accumulated
@@ -226,7 +297,6 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
         b_pt = jnp.einsum("pkai,pa->pki", J, r_pt, precision="highest")
         sq = jnp.sum(r_pt * r_pt)
     a = problem.point_anchors.astype(jnp.int32)
-    seg_pt = (a[:, :, None] * n + a[:, None, :]).reshape(-1)
 
     # ---- ARAP term
     E_k = problem.edges.shape[1]
@@ -282,10 +352,6 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
             axis=1,
         )
         sq_arap = jnp.sum(r_arap * r_arap)
-    idx_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, E_k))
-    seg_ij = (idx_i * n + e).reshape(-1)
-    seg_ji = (e * n + idx_i).reshape(-1)
-    seg_jj = (e * n + e).reshape(-1)
     diag_seg = jnp.arange(n, dtype=jnp.int32) * n + jnp.arange(
         n, dtype=jnp.int32
     )
@@ -302,10 +368,33 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t):
         ],
         axis=0,
     )
-    all_segs = jnp.concatenate([seg_pt, seg_ij, seg_ji, seg_jj])
-    M_blocks = jax.ops.segment_sum(
-        all_blocks, all_segs, num_segments=n * n
-    )
+    if plan is not None:
+        u_cap = plan.slot_segs.shape[0]
+
+        def compact_scatter(rows):
+            c = jax.ops.segment_sum(
+                rows, plan.compact_ids, num_segments=u_cap
+            )
+            return jnp.zeros((n * n, 36)).at[plan.slot_segs].set(
+                c, mode="drop"
+            )
+
+        def direct_scatter(rows):
+            return jax.ops.segment_sum(
+                rows, pair_segment_ids(problem.point_anchors, problem.edges, n),
+                num_segments=n * n,
+            )
+
+        M_blocks = jax.lax.cond(
+            plan.overflow, direct_scatter, compact_scatter, all_blocks
+        )
+    else:
+        all_segs = pair_segment_ids(
+            problem.point_anchors, problem.edges, n
+        )
+        M_blocks = jax.ops.segment_sum(
+            all_blocks, all_segs, num_segments=n * n
+        )
     M_blocks = M_blocks.at[diag_seg].add(ii.reshape(-1, 36))
     b_nodes = jax.ops.segment_sum(
         jnp.concatenate([b_pt.reshape(-1, 6), b_arap_j.reshape(-1, 6)]),
@@ -402,6 +491,7 @@ def solve_dense(
     config: GNConfig = GNConfig(),
     init_rotations: jnp.ndarray | None = None,
     init_translations: jnp.ndarray | None = None,
+    scatter_plan: PairScatterPlan | None = None,
 ) -> GNResult:
     n = problem.nodes.shape[0]
     R0 = (
@@ -420,7 +510,9 @@ def solve_dense(
     def gn_step(carry, _):
         R, t, ok = carry
         if config.assembly != "dense_j":
-            M, b, sq = _assemble_blocks(problem, config, R, t)
+            M, b, sq = _assemble_blocks(
+                problem, config, R, t, plan=scatter_plan
+            )
         else:
             M, b, sq = _assemble(problem, config, R, t)
         # frozen/padded nodes: identity rows/cols, zero rhs

@@ -107,15 +107,29 @@ def main():
 
         return body
 
-    def with_assembly(name):
-        def fn(problem, c, R, t, _n=name):
-            return _assemble_blocks(problem, c._replace(assembly=_n), R, t)
+    from occlusionfusion_tpu.solvers.gauss_newton_dense import (
+        build_pair_scatter_plan,
+    )
+
+    plan = build_pair_scatter_plan(problem.point_anchors, problem.edges,
+                                   n_nodes)
+    note(f"scatter plan: overflow={bool(plan.overflow)} "
+         f"slots={plan.slot_segs.shape[0]}")
+
+    def with_assembly(name, use_plan=False):
+        def fn(problem, c, R, t, _n=name, _p=use_plan):
+            return _assemble_blocks(
+                problem, c._replace(assembly=_n), R, t,
+                plan=plan if _p else None,
+            )
 
         return fn
 
     for name, fn in (
         ("blocks", _assemble_blocks),
+        ("blocks+plan", with_assembly("blocks", use_plan=True)),
         ("blocks_pallas", with_assembly("blocks_pallas")),
+        ("blocks_pallas+plan", with_assembly("blocks_pallas", use_plan=True)),
         ("blocks_pallas_full", with_assembly("blocks_pallas_full")),
         ("dense_j", _assemble),
     ):
@@ -171,20 +185,29 @@ def main():
         note(f"{'  -> per iteration':44s} {dt / K * 1e3:8.3f} ms")
 
     # full production solve (4 GN iters) in a K-chunk scan
-    for asm in ("blocks", "blocks_pallas", "blocks_pallas_full"):
+    for asm, use_plan in (
+        ("blocks", False),
+        ("blocks_pallas", False),
+        ("blocks_pallas", True),
+        ("blocks_pallas_full", False),
+    ):
         cfg_a = cfg._replace(assembly=asm)
 
         @jax.jit
-        def full(carry, _cfg=cfg_a):
+        def full(carry, _cfg=cfg_a, _p=use_plan):
             def f(t, _):
-                res = solve_dense(problem, _cfg, init_translations=t)
+                res = solve_dense(
+                    problem, _cfg, init_translations=t,
+                    scatter_plan=plan if _p else None,
+                )
                 return res.translations * 1e-6, None
 
             c, _ = jax.lax.scan(f, carry, None, length=K)
             return c
 
+        tag = f"{asm}{'+plan' if use_plan else ''}"
         dt = slope_time(
-            f"full solve_dense(4 iters, {asm}) x{K} in scan", full,
+            f"full solve_dense(4 iters, {tag}) x{K} in scan", full,
             lambda: jnp.zeros((n_nodes, 3), jnp.float32),
             lambda c: float(c[0, 0]),
         )
