@@ -923,18 +923,12 @@ class DynamicFusion:
                 cap,
             )
             vox_dense = (ds.s_hi, ds.s_lo)
+        # NB: the compact-pair scatter plan (PairScatterPlan) measured
+        # SLOWER in the full assembly despite the isolated scatter being
+        # faster (9.3 vs 7.3 ms/iter at cap 512 — the [N*N] expand
+        # scatter-set + lax.cond fallback eat the win; profile_plan.py),
+        # so production keeps the direct fused segment_sum.
         gn_plan = None
-        if cfg.solver == "gn_dense":
-            # keyframe-static compact-pair scatter plan for the dense-GN
-            # block assembly (anchors/edges are fixed until the next
-            # graph rebuild; overflow falls back to the direct scatter)
-            from occlusionfusion_tpu.solvers.gauss_newton_dense import (
-                build_pair_scatter_plan,
-            )
-
-            gn_plan = build_pair_scatter_plan(
-                self.point_table.anchors, self.edges, cap
-            )
         tables = FusionTables(
             vox_points=self.vox_points,
             vox_anchors=self.vox_table.anchors,
