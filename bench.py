@@ -10,12 +10,21 @@ JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
 
 vs_baseline is measured against the driver's north-star real-time target
-of 30 fps dynamic fusion (BASELINE.md): value / 30. Measured 61 fps on
-one v5e through the axon relay (2026-08-18, slope+readback timing).
+of 30 fps dynamic fusion (BASELINE.md): value / 30. Measured 95 fps on
+one v5e through the axon relay (2026-08-19, slope+readback timing,
+Pallas GN assembly).
 
 BENCH_MODE=motion switches to the motion-completion demo throughput
 (BASELINE config 1); BENCH_MODE=fusion times unchunked per-frame
 dispatches.
+
+Reference-envelope run (the reference's own default scale — 128^3 @
+5 mm voxels, 448x640 frames, bricked sparse volume):
+
+  BENCH_VOL=128 BENCH_VOXEL_SIZE=0.005 BENCH_IMG=448x640 \
+  BENCH_MAX_NODES=512 BENCH_MAX_POINTS=8192 BENCH_BRICK=8 \
+  BENCH_MAX_BRICKS=1024 BENCH_NODE_COVERAGE=0.05 BENCH_BUDGET_S=2400 \
+  python bench.py          # add BENCH_MOTION=1 for the occlusion GNN
 """
 
 import json
@@ -71,8 +80,8 @@ def bench_fusion():
     """Full fused fusion loop: synthetic deforming sphere, 64^3 volume,
     gn_dense solver. Measures 'fused frames/sec/chip' directly; the
     chunked variant (default) scans 16 frames per dispatch, which is the
-    production shape through the relay (measured 61 fps at the 128-node
-    cap on one v5e, 2026-08-18)."""
+    production shape through the relay (measured 95 fps at the 128-node
+    cap on one v5e, 2026-08-19)."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
