@@ -207,6 +207,51 @@ class PyramidConfig(NamedTuple):
     max_neighbors: Sequence[int] = (26, 28, 30, 30)
 
 
+def calibrate_neighbor_limits(
+    clouds,
+    config: PyramidConfig,
+    keep_ratio: float = 0.8,
+    hist_cap: int = 64,
+    samples_threshold: int = 2000,
+) -> PyramidConfig:
+    """Calibrate per-level ``max_neighbors`` from sample clouds.
+
+    Mirror of the reference's ``calibrate_neighbors``
+    (``lepard/datasets/dataloader.py:563-590``): build the pyramid with a
+    generous cap, histogram the true radius-neighborhood sizes per level
+    (conv neighborhoods only, like the reference), and pick each level's
+    limit as the neighbor-mass ``keep_ratio`` percentile
+    (``np.sum(cumsum < keep_ratio * total)``). Stops once every level has
+    seen ``samples_threshold`` neighborhoods.
+
+    ``clouds`` is an iterable of ``(points [P,3], valid [P])`` arrays.
+    Returns ``config`` with calibrated ``max_neighbors`` — feed it to
+    ``build_pyramid``/``LepardConfig`` so the static neighbor tables hold
+    just enough slots (smaller gathers, same accuracy envelope as the
+    reference's contract).
+    """
+    import numpy as np
+
+    n_levels = len(config.level_sizes)
+    hists = np.zeros((n_levels, hist_cap + 1), np.int64)
+    probe = config._replace(max_neighbors=(hist_cap,) * n_levels)
+    for pts, vld in clouds:
+        levels = build_pyramid(jnp.asarray(pts), jnp.asarray(vld), probe)
+        for l, lev in enumerate(levels):
+            S = lev.points.shape[0]
+            counts = np.asarray(jnp.sum(lev.neighbors < S, axis=1))
+            counts = counts[np.asarray(lev.valid)]
+            hists[l] += np.bincount(
+                np.clip(counts, 0, hist_cap), minlength=hist_cap + 1
+            )
+        if hists.sum(axis=1).min() > samples_threshold:
+            break
+    cumsum = np.cumsum(hists.T, axis=0)
+    limits = np.sum(cumsum < keep_ratio * cumsum[-1], axis=0)
+    limits = np.maximum(limits, 1)
+    return config._replace(max_neighbors=tuple(int(x) for x in limits))
+
+
 def build_pyramid(
     points: jnp.ndarray, valid: jnp.ndarray, config: PyramidConfig
 ) -> list[PyramidLevel]:

@@ -146,6 +146,11 @@ def main():
     ap.add_argument("--full_depth", action="store_true",
                     help="reference-depth KPFCN (3 strided stages x2 "
                          "resnetb + decoder; kpconv.full_depth_config)")
+    ap.add_argument("--calibrate_neighbors", action="store_true",
+                    help="calibrate per-level neighbor limits from sample "
+                         "clouds before training (reference "
+                         "dataloader.py:563 calibrate_neighbors); ignored "
+                         "with --resume (limits live in the side-car)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", default=None,
                     help="checkpoint npz to continue from (params only; "
@@ -167,6 +172,28 @@ def main():
     from occlusionfusion_tpu.ops.knn import knn_lax
 
     pyramid = K.PyramidConfig(level_sizes=(256, 96, 48, 24), first_voxel=0.06)
+    if args.calibrate_neighbors and not args.resume:
+        cal_rng = np.random.RandomState(20_000 + args.seed)
+
+        def sample_clouds(n_samples=24):
+            for _ in range(n_samples):
+                src_p, sm, tgt_p, tm, *_ = synthetic_pair(cal_rng)
+                yield src_p, sm
+                yield tgt_p, tm
+
+        if args.data:
+            from occlusionfusion_tpu.data.fourdmatch import FourDMatchDataset
+
+            ds = FourDMatchDataset(args.data)
+
+            def sample_clouds(n_samples=24):
+                for i in range(min(n_samples, len(ds))):
+                    s = ds[i]
+                    yield s["source"], s["source_mask"]
+                    yield s["target"], s["target_mask"]
+
+        pyramid = K.calibrate_neighbor_limits(sample_clouds(), pyramid)
+        print(f"calibrated max_neighbors: {pyramid.max_neighbors}")
     cfg = LepardConfig(
         kpfcn=K.full_depth_config(pyramid=pyramid) if args.full_depth
         else K.KPFCNConfig(pyramid=pyramid)

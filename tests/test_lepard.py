@@ -90,6 +90,42 @@ class TestKPConv:
         assert counts[0] >= counts[1] >= counts[2] >= counts[3]
 
 
+class TestCalibrateNeighborLimits:
+    def test_limits_cover_keep_ratio(self):
+        """Calibrated limits follow the reference's neighbor-mass
+        percentile rule (dataloader.py:563): with keep_ratio=1.0 the
+        limit equals the max true neighborhood size; smaller ratios
+        give smaller-or-equal limits, all within the probe cap."""
+        cfg = K.PyramidConfig(level_sizes=(256, 128, 64, 32), first_voxel=0.05)
+        clouds = [random_cloud(280, 512, seed=s, scale=0.3) for s in range(3)]
+        cal = K.calibrate_neighbor_limits(clouds, cfg, keep_ratio=0.8,
+                                          hist_cap=48)
+        cal_full = K.calibrate_neighbor_limits(clouds, cfg, keep_ratio=1.0,
+                                               hist_cap=48)
+        assert len(cal.max_neighbors) == 4
+        for lo, hi in zip(cal.max_neighbors, cal_full.max_neighbors):
+            assert 1 <= lo <= hi <= 48
+        # the full-keep limit really is the observed max neighborhood size
+        probe = cfg._replace(max_neighbors=(48,) * 4)
+        for l in range(4):
+            max_count = 0
+            for pts, valid in clouds:
+                lev = K.build_pyramid(pts, valid, probe)[l]
+                counts = np.asarray(
+                    (lev.neighbors < lev.points.shape[0]).sum(axis=1)
+                )[np.asarray(lev.valid)]
+                max_count = max(max_count, int(counts.max()))
+            assert cal_full.max_neighbors[l] == max_count
+
+    def test_pyramid_builds_with_calibrated_limits(self):
+        cfg = K.PyramidConfig(level_sizes=(128, 64, 32, 16), first_voxel=0.06)
+        clouds = [random_cloud(100, 256, seed=7, scale=0.25)]
+        cal = K.calibrate_neighbor_limits(clouds, cfg, hist_cap=32)
+        levels = K.build_pyramid(*clouds[0], cal)
+        for lev, nmax in zip(levels, cal.max_neighbors):
+            assert lev.neighbors.shape[1] == nmax
+
+
 class TestMatchingMath:
     def test_dual_softmax_identity(self):
         f = jnp.eye(4) * 10
