@@ -142,6 +142,111 @@ def flow_to_color(flow: np.ndarray, max_norm: float | None = None) -> np.ndarray
 
 
 # ---------------------------------------------------------------------------
+# line meshes (motion_complete_utils.py:38-147 LineMesh / merge_meshes)
+
+
+def merge_meshes(meshes):
+    """Concatenate ``(vertices, faces[, colors])`` triples into one mesh
+    with reindexed faces (``motion_complete_utils.py`` merge_meshes)."""
+    verts, faces, colors = [], [], []
+    offset = 0
+    for m in meshes:
+        v = np.asarray(m[0], np.float32)
+        f = np.asarray(m[1], np.int64)
+        verts.append(v)
+        faces.append(f + offset)
+        if len(m) > 2 and m[2] is not None:
+            colors.append(np.broadcast_to(np.asarray(m[2]), v.shape).copy())
+        else:
+            colors.append(np.full_like(v, 128.0))
+        offset += v.shape[0]
+    return (
+        np.concatenate(verts, 0),
+        np.concatenate(faces, 0),
+        np.concatenate(colors, 0),
+    )
+
+
+def line_mesh(points, edges, radius: float = 0.002, color=(255, 0, 0),
+              sides: int = 6):
+    """Triangle-mesh cylinders along graph edges — the headless
+    equivalent of the reference's open3d ``LineMesh``
+    (``motion_complete_utils.py:38-147``). ``edges`` is [E, 2] index
+    pairs (or an [N, K] neighbor table with -1/self padding, K != 2 —
+    a two-column array is always read as edge pairs). Returns
+    ``(vertices, faces, colors)`` ready for :func:`save_ply`."""
+    points = np.asarray(points, np.float32)
+    edges = np.asarray(edges, np.int64)
+    if edges.ndim == 2 and edges.shape[1] != 2:
+        ii = np.repeat(np.arange(edges.shape[0]), edges.shape[1])
+        jj = edges.reshape(-1)
+        keep = (jj >= 0) & (jj != ii) & (jj < len(points))
+        edges = np.stack([ii[keep], jj[keep]], axis=1)
+    meshes = []
+    ang = 2 * np.pi * np.arange(sides) / sides
+    ring = np.stack([np.cos(ang), np.sin(ang)], axis=1)  # [S, 2]
+    for a, b in edges:
+        p0, p1 = points[a], points[b]
+        axis = p1 - p0
+        ln = np.linalg.norm(axis)
+        if ln < 1e-9:
+            continue
+        axis = axis / ln
+        # orthonormal frame around the axis
+        ref = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else np.array([0, 1.0, 0])
+        u = np.cross(axis, ref)
+        u /= np.linalg.norm(u)
+        w = np.cross(axis, u)
+        circ = ring[:, :1] * u + ring[:, 1:] * w  # [S, 3]
+        v = np.concatenate([p0 + radius * circ, p1 + radius * circ], 0)
+        s = sides
+        i = np.arange(s)
+        j = (i + 1) % s
+        quads_a = np.stack([i, j, i + s], axis=1)
+        quads_b = np.stack([j, j + s, i + s], axis=1)
+        meshes.append((v, np.concatenate([quads_a, quads_b], 0), color))
+    if not meshes:
+        return (
+            np.zeros((0, 3), np.float32),
+            np.zeros((0, 3), np.int64),
+            np.zeros((0, 3), np.float32),
+        )
+    return merge_meshes(meshes)
+
+
+def graph_mesh(nodes, edges, node_motion=None, radius: float = 0.002,
+               max_norm: float | None = None):
+    """Deformation-graph edge mesh with edges colored by node-motion
+    magnitude via the flow colorwheel when ``node_motion`` is given —
+    the headless stand-in for the reference's graph renders
+    (``utils/viz_utils.py`` get_graph / ``visualize.py``)."""
+    nodes = np.asarray(nodes, np.float32)
+    if node_motion is None:
+        return line_mesh(nodes, edges, radius=radius)
+    m = np.asarray(node_motion, np.float32)
+    col3 = flow_to_color(m[:, :2], max_norm=max_norm)  # [N, 3] uint8
+    edges = np.asarray(edges, np.int64)
+    if edges.ndim == 2 and edges.shape[1] != 2:
+        ii = np.repeat(np.arange(edges.shape[0]), edges.shape[1])
+        jj = edges.reshape(-1)
+        keep = (jj >= 0) & (jj != ii) & (jj < len(nodes))
+        edges = np.stack([ii[keep], jj[keep]], axis=1)
+    meshes = [
+        line_mesh(nodes, np.array([[a, b]]), radius=radius,
+                  color=tuple(int(x) for x in col3[a]))
+        for a, b in edges
+    ]
+    meshes = [m_ for m_ in meshes if len(m_[0])]
+    if not meshes:
+        return (
+            np.zeros((0, 3), np.float32),
+            np.zeros((0, 3), np.int64),
+            np.zeros((0, 3), np.float32),
+        )
+    return merge_meshes(meshes)
+
+
+# ---------------------------------------------------------------------------
 # matplotlib renders (headless)
 
 

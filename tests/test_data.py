@@ -131,6 +131,46 @@ class TestVizExport:
         assert img.shape == (4, 4, 3)
         assert img.dtype == np.uint8
 
+    def test_line_mesh_cylinders(self, tmp_path):
+        from occlusionfusion_tpu.utils.viz import line_mesh, merge_meshes
+
+        pts = np.asarray([[0, 0, 0], [0, 0, 1.0], [1.0, 0, 0]], np.float32)
+        v, f, c = line_mesh(pts, np.asarray([[0, 1], [0, 2]]), radius=0.01,
+                            sides=6)
+        # two cylinders: 12 verts + 12 tris each
+        assert v.shape == (24, 3) and f.shape == (24, 3) and c.shape == (24, 3)
+        assert f.min() >= 0 and f.max() < 24
+        # first cylinder's verts hug the segment z in [0, 1], r ~= 0.01
+        r = np.linalg.norm(v[:12, :2], axis=1)
+        np.testing.assert_allclose(r, 0.01, atol=1e-6)
+        save_ply(str(tmp_path / "g.ply"), v, f, c)
+        v2, f2 = load_ply(str(tmp_path / "g.ply"))
+        assert v2.shape == v.shape and f2.shape == f.shape
+        # merge_meshes reindexes
+        mv, mf, mc = merge_meshes([(v, f, c), (v, f, None)])
+        assert mv.shape[0] == 48 and mf.max() == 47
+
+    def test_line_mesh_neighbor_table(self):
+        from occlusionfusion_tpu.utils.viz import line_mesh
+
+        pts = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+        nbrs = np.asarray(
+            [[1, -1, -1], [0, 2, -1], [3, -1, -1], [2, -1, -1], [-1, -1, -1]]
+        )
+        v, f, _ = line_mesh(pts, nbrs, radius=0.01, sides=4)
+        assert v.shape[0] == 5 * 8  # 5 directed edges x 8 verts (4 sides)
+
+    def test_graph_mesh_colored_by_motion(self):
+        from occlusionfusion_tpu.utils.viz import graph_mesh
+
+        pts = np.asarray([[0, 0, 0], [1.0, 0, 0], [0, 1.0, 0]], np.float32)
+        motion = np.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 0]], np.float32)
+        v, f, c = graph_mesh(pts, np.asarray([[0, 1], [1, 2]]), motion,
+                             radius=0.01)
+        assert v.shape[0] == 24 and c.shape == (24, 3)
+        # edge colors differ (different motion directions)
+        assert not np.allclose(c[:12], c[12:])
+
 
 class TestSnapshot:
     def test_params_roundtrip(self, tmp_path):
