@@ -57,16 +57,24 @@ def _lbs_kernel(pts_ref, anchors_ref, weights_ref, valid_ref, T_ref, out_ref,
         a = anchors_ref[:, kk][:, None]  # [TILE, 1]
         w = weights_ref[:, kk][:, None]
         S = S + jnp.where(node_ids == a, w, 0.0)
-    blended = jax.lax.dot_general(
-        S,
-        T_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+    # hand-rolled bf16 split (Mosaic lowers only DEFAULT/HIGHEST; plain
+    # DEFAULT is ~2^-8 relative = mm-scale error at metre scale, and
+    # HIGHEST is a 6-pass contraction). T arrives pre-split with
+    # [T_hi | T_lo] packed into the lane dimension, so 2 bf16 passes
+    # give ~2^-17 relative (the dropped S_lo @ T_lo term) — the same
+    # construction as DenseSkin / the gn_assembly node table.
+    S_hi = S.astype(jnp.bfloat16)
+    S_lo = (S - S_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    hi = jax.lax.dot_general(
+        S_hi, T_ref[:], dimension_numbers=dn,
         preferred_element_type=jnp.float32,
-        # Mosaic lowers only DEFAULT/HIGHEST; DEFAULT (1-pass bf16,
-        # ~2^-8 relative = mm-scale error at metre scale) is too coarse
-        # for geometry, so keep the 6-pass HIGHEST contraction
-        precision=jax.lax.Precision.HIGHEST,
     )
+    lo = jax.lax.dot_general(
+        S_lo, T_ref[:], dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    blended = hi[:, :12] + hi[:, 12:24] + lo[:, :12]
     # y = B_R x + B_t
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
     ox = blended[:, 0] * x + blended[:, 1] * y + blended[:, 2] * z + blended[:, 9]
@@ -94,9 +102,13 @@ def lbs_warp_pallas(
     n_pad = -(-N // 128) * 128
     T = _pack_transforms(state)
     # zero rows for padding nodes: S columns beyond N never referenced,
-    # but pad T to n_pad for lane alignment
+    # but pad T to n_pad for lane alignment; hi/lo bf16 halves packed
+    # side-by-side in the lane dimension (cols 0:12 hi, 12:24 lo)
     T = jnp.pad(T, ((0, n_pad - N), (0, 0)))
-    T = jnp.pad(T, ((0, 0), (0, 128 - 12)))  # lane-align columns
+    T_hi = T.astype(jnp.bfloat16)
+    T_lo = (T - T_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    T = jnp.concatenate([T_hi, T_lo], axis=1)  # [n_pad, 24] bf16
+    T = jnp.pad(T, ((0, 0), (0, 128 - 24)))  # lane-align columns
 
     p_pad = -(-P // tile) * tile
     pts4 = jnp.pad(points.astype(jnp.float32), ((0, p_pad - P), (0, 1)))
