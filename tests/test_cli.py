@@ -106,3 +106,17 @@ class TestCLIChain:
         warped, _ = load_ply(out)
         err = np.linalg.norm(warped - tgt, axis=1)
         assert np.median(err) < 0.01, np.median(err)
+
+    def test_train_motion_on_clips(self, tmp_path):
+        """Clip fine-tuning path: synthetic clips -> runner-exact samples
+        -> train step + held-out occluded-EPE eval + checkpoint save."""
+        out = str(tmp_path / "m.npz")
+        run_script(
+            "train_motion.py",
+            ["--steps", "1", "--batch", "2", "--synthetic_clips", "2",
+             "--eval_every", "1", "--save_every", "0", "--out", out],
+        )
+        from occlusionfusion_tpu.utils.snapshot import load_params
+
+        params = load_params(out)
+        assert params  # non-empty pytree round-trips
