@@ -184,6 +184,10 @@ def main():
                     help="fraction of each batch from the procedural "
                          "bone-blend generator (0 disables; only applies "
                          "when clips are present)")
+    ap.add_argument("--hist_len", type=int, default=16,
+                    help="history ring depth; must match the clip "
+                         "pipeline's (MotionClipConfig.history_len=16, "
+                         "the runner's ring size) when mixing sources")
     ap.add_argument("--eval_every", type=int, default=100)
     ap.add_argument("--save_every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
@@ -244,7 +248,7 @@ def main():
             not args.synthetic_frac or rng.rand() >= args.synthetic_frac
         ):
             return flat_train[rng.randint(len(flat_train))]
-        return synthetic_sample(rng, caps=caps)
+        return synthetic_sample(rng, caps=caps, hist_len=args.hist_len)
 
     if eval_samples:
         e0, b0 = occluded_epe(params, eval_samples, forward_jit)
