@@ -26,17 +26,31 @@ import numpy as np
 
 
 def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0,
-                    rotate_deg=0.0):
-    """Write a synthetic deforming blob clip (sphere with a moving bulge;
-    optional in-plane rotation of ``rotate_deg`` per frame — tangential
-    motion that projective association is blind to, the regime the
-    learned matcher exists for)."""
+                    rotate_deg=0.0, shape="blob"):
+    """Write a synthetic deforming clip (optional in-plane rotation of
+    ``rotate_deg`` per frame — tangential motion that projective
+    association is blind to, the regime the learned matcher exists for).
+
+    ``shape="blob"``: sphere with a moving bulge (near-featureless —
+    geometric matching cannot discriminate on it; good for testing the
+    projective path). ``shape="limbs"``: sphere with 4 protruding lobes
+    (distinct local geometry, the regime KPConv features can match)."""
     from occlusionfusion_tpu.data.deformingthings4d import save_anime
 
     rng = np.random.RandomState(seed)
     v = rng.randn(n_verts, 3)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
-    verts = (v * 0.12).astype(np.float32)
+    r = np.full(n_verts, 0.12, np.float32)
+    if shape == "limbs":
+        limb_dirs = np.asarray(
+            [[1, 0, 0.3], [-1, 0.2, 0], [0, 1, -0.2], [0.2, -1, 0]],
+            np.float32,
+        )
+        limb_dirs /= np.linalg.norm(limb_dirs, axis=1, keepdims=True)
+        for d in limb_dirs:
+            w = np.maximum(v @ d, 0.0) ** 8
+            r = r + 0.06 * w.astype(np.float32)
+    verts = (v * r[:, None]).astype(np.float32)
     faces = np.zeros((1, 3), np.int32)  # faces unused by the renderer
     offsets = []
     for f in range(1, n_frames):
@@ -68,6 +82,9 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--solver", default="gn_dense")
     ap.add_argument("--use_motion_model", action="store_true")
+    ap.add_argument("--shape", default="blob", choices=("blob", "limbs"),
+                    help="synthetic clip geometry: featureless blob or "
+                         "4-lobed shape with matchable local geometry")
     ap.add_argument("--rotate_deg", type=float, default=0.0,
                     help="synthetic clip: in-plane rotation per frame "
                     "(tangential motion, projective-blind)")
@@ -113,7 +130,7 @@ def main():
     if args.synthetic or (path is None and args.gt is None):
         path = synthetic_anime(
             "/tmp/synthetic_clip.anime", args.frames + 1,
-            rotate_deg=args.rotate_deg,
+            rotate_deg=args.rotate_deg, shape=args.shape,
         )
 
     intr = Intrinsics(

@@ -213,6 +213,23 @@ class TestLepardEndToEnd:
         assert flow.shape == (256, 3)
         assert bool(jnp.all(jnp.isfinite(flow)))
 
+    def test_scene_flow_scale_normalization(self):
+        """scene_flow(normalize_radius=r) is scale-equivariant: a 10x
+        smaller scene yields 10x smaller flow with the same mask — the
+        KPConv pyramid always sees the canonical-scale cloud."""
+        cfg = LepardConfig()
+        params = init_lepard_params(jax.random.PRNGKey(0), cfg)
+        src, sv = random_cloud(150, 256, seed=1, scale=0.3)
+        tgt = src + 0.02
+        f1, m1, _ = scene_flow(params, cfg, src, sv, tgt, sv,
+                               normalize_radius=0.3)
+        f2, m2, _ = scene_flow(params, cfg, src * 0.1, sv, tgt * 0.1, sv,
+                               normalize_radius=0.3)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_allclose(
+            np.asarray(f1) * 0.1, np.asarray(f2), atol=1e-5
+        )
+
     def test_blend_anchor_motion(self):
         q = jnp.asarray([[0.0, 0, 0], [10.0, 0, 0]])
         anchors = jnp.asarray(
