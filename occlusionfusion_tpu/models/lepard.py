@@ -164,13 +164,17 @@ def scene_flow(
     src_n = (source_points - center) * scale
     tgt_n = (target_points - center) * scale
     m = lepard_match(params, config, src_n, source_valid, tgt_n, target_valid)
-    anchor_flow = m.tgt_points[m.match_tgt] - m.src_points
+    # matching ran at canonical scale; blending happens back in METRIC
+    # space so ``blend_radius`` keeps the reference's contract (within
+    # 0.1 m — ``lepard/models/loss.py:282``) regardless of scene scale
+    anchor_flow = (m.tgt_points[m.match_tgt] - m.src_points) / scale
+    anchor_pos = m.src_points / scale + center
     flow, mask = blend_anchor_motion(
-        src_n,
-        m.src_points,
+        source_points,
+        anchor_pos,
         anchor_flow,
         m.match_valid,
         knn=config.blend_knn,
         radius=config.blend_radius,
     )
-    return flow / scale, mask & source_valid, m
+    return flow, mask & source_valid, m
