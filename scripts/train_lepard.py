@@ -143,6 +143,19 @@ def main():
     ap.add_argument("--max_angle_deg", type=float, default=60.0,
                     help="max rigid rotation of synthetic pairs (the "
                          "fusion loop sees bounded inter-frame motion)")
+    ap.add_argument("--levels", default="256,96,48,24",
+                    help="KPConv pyramid level sizes (comma list). The "
+                         "coarse level (last entry) sets the match-anchor "
+                         "density — the shipped 24-anchor pyramid caps "
+                         "blended flow accuracy at ~10 mm (ROADMAP #4); "
+                         "e.g. 512,256,128,64 for a finer matcher")
+    ap.add_argument("--first_voxel", type=float, default=0.06,
+                    help="level-0 subsample voxel (m); shrink together "
+                         "with denser --levels so level 0 actually fills")
+    ap.add_argument("--points", type=int, default=192,
+                    help="synthetic cloud density (pre-subsample)")
+    ap.add_argument("--cap", type=int, default=256,
+                    help="padded input size of synthetic pairs")
     ap.add_argument("--full_depth", action="store_true",
                     help="reference-depth KPFCN (3 strided stages x2 "
                          "resnetb + decoder; kpconv.full_depth_config)")
@@ -155,9 +168,19 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="checkpoint npz to continue from (params only; "
                          "the config side-car must match --full_depth)")
+    ap.add_argument("--warm_start", default=None,
+                    help="checkpoint npz whose PARAMS seed training while "
+                         "the pyramid comes from --levels/--first_voxel "
+                         "(KPConv/transformer weights are "
+                         "pyramid-independent, so a coarse-trained matcher "
+                         "warm-starts a finer one)")
     args = ap.parse_args()
 
     import jax
+
+    if _os.environ.get("TRAIN_CPU") == "1":  # shape-shakeout runs off-TPU
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import optax
 
@@ -171,13 +194,15 @@ def main():
     from occlusionfusion_tpu.models.deform_loss import focal_correspondence_loss
     from occlusionfusion_tpu.ops.knn import knn_lax
 
-    pyramid = K.PyramidConfig(level_sizes=(256, 96, 48, 24), first_voxel=0.06)
+    levels = tuple(int(x) for x in args.levels.split(","))
+    pyramid = K.PyramidConfig(level_sizes=levels, first_voxel=args.first_voxel)
+    pair_kw = dict(n=args.points, cap=args.cap)
     if args.calibrate_neighbors and not args.resume:
         cal_rng = np.random.RandomState(20_000 + args.seed)
 
         def sample_clouds(n_samples=24):
             for _ in range(n_samples):
-                src_p, sm, tgt_p, tm, *_ = synthetic_pair(cal_rng)
+                src_p, sm, tgt_p, tm, *_ = synthetic_pair(cal_rng, **pair_kw)
                 yield src_p, sm
                 yield tgt_p, tm
 
@@ -206,6 +231,23 @@ def main():
 
         params, cfg = load_lepard_checkpoint(args.resume)
         print(f"resumed params from {args.resume}")
+    elif args.warm_start:
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_lepard_checkpoint,
+        )
+
+        warm_params, warm_cfg = load_lepard_checkpoint(args.warm_start)
+        if jax.tree.structure(warm_params) != jax.tree.structure(params):
+            raise SystemExit(
+                "--warm_start params do not match the requested "
+                "architecture (use matching --full_depth etc.)"
+            )
+        params = warm_params
+        if warm_cfg.kpfcn.kp_layout != cfg.kpfcn.kp_layout:
+            raise SystemExit("--warm_start kp_layout mismatch")
+        print(f"warm-started params from {args.warm_start} "
+              f"(pyramid {warm_cfg.kpfcn.pyramid.level_sizes} -> "
+              f"{cfg.kpfcn.pyramid.level_sizes})")
     warmup = min(args.warmup, max(args.steps // 5, 1))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=args.lr, warmup_steps=warmup,
@@ -274,7 +316,7 @@ def main():
         # the first half of training
         ramp = min(1.0, frac * 2.0)
         return tuple(jnp.asarray(x) for x in synthetic_pair(
-            rng, nonrigid=not args.rigid_only,
+            rng, nonrigid=not args.rigid_only, **pair_kw,
             max_angle=np.deg2rad(10.0) + ramp * max(
                 max_angle - np.deg2rad(10.0), 0.0),
             warp_amplitude=0.01 + 0.03 * ramp,
