@@ -156,6 +156,12 @@ def main():
                     help="synthetic cloud density (pre-subsample)")
     ap.add_argument("--cap", type=int, default=256,
                     help="padded input size of synthetic pairs")
+    ap.add_argument("--max_neighbors", default=None,
+                    help="per-level neighbor limits (comma list), e.g. "
+                         "from a CPU --calibrate_neighbors run; through "
+                         "the axon relay the unjitted calibration probe "
+                         "dispatches op-by-op (minutes per cloud), so "
+                         "calibrate off-TPU and pass the limits here")
     ap.add_argument("--full_depth", action="store_true",
                     help="reference-depth KPFCN (3 strided stages x2 "
                          "resnetb + decoder; kpconv.full_depth_config)")
@@ -218,7 +224,11 @@ def main():
                     yield s["target"], s["target_mask"]
 
         pyramid = K.calibrate_neighbor_limits(sample_clouds(), pyramid)
-        print(f"calibrated max_neighbors: {pyramid.max_neighbors}")
+        print(f"calibrated max_neighbors: {pyramid.max_neighbors}", flush=True)
+    if args.max_neighbors:
+        pyramid = pyramid._replace(
+            max_neighbors=tuple(int(x) for x in args.max_neighbors.split(","))
+        )
     cfg = LepardConfig(
         kpfcn=K.full_depth_config(pyramid=pyramid) if args.full_depth
         else K.KPFCNConfig(pyramid=pyramid)
