@@ -247,12 +247,36 @@ def main():
         )
 
         warm_params, warm_cfg = load_lepard_checkpoint(args.warm_start)
-        if jax.tree.structure(warm_params) != jax.tree.structure(params):
+
+        # checkpoints store dict keys as strings ('0') where fresh init
+        # uses ints (0); match leaves by normalized path instead
+        def _pathmap(tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            return {
+                tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in kp): v
+                for kp, v in flat
+            }
+
+        warm_by_path = _pathmap(warm_params)
+        init_by_path = _pathmap(params)
+        if set(warm_by_path) != set(init_by_path) or any(
+            warm_by_path[k].shape != init_by_path[k].shape
+            for k in init_by_path
+        ):
             raise SystemExit(
                 "--warm_start params do not match the requested "
                 "architecture (use matching --full_depth etc.)"
             )
-        params = warm_params
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+        params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params),
+            [
+                warm_by_path[
+                    tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
+                ]
+                for kp, _ in leaves
+            ],
+        )
         if warm_cfg.kpfcn.kp_layout != cfg.kpfcn.kp_layout:
             raise SystemExit("--warm_start kp_layout mismatch")
         print(f"warm-started params from {args.warm_start} "
