@@ -120,3 +120,33 @@ class TestCLIChain:
 
         params = load_params(out)
         assert params  # non-empty pytree round-trips
+
+    def test_train_lepard_pyramid_flags_and_warm_start(self, tmp_path):
+        """Matcher trainer: configurable pyramid, then a warm start into
+        a FINER pyramid (weights are pyramid-independent; checkpoints
+        store dict keys as strings, so warm start must match by
+        normalized path)."""
+        coarse = str(tmp_path / "coarse.npz")
+        run_script(
+            "train_lepard.py",
+            ["--steps", "1", "--eval_every", "5", "--save_every", "0",
+             "--levels", "48,24,12,8", "--first_voxel", "0.08",
+             "--points", "40", "--cap", "48",
+             "--max_neighbors", "8,8,8,8", "--out", coarse],
+        )
+        fine = str(tmp_path / "fine.npz")
+        run_script(
+            "train_lepard.py",
+            ["--steps", "1", "--eval_every", "5", "--save_every", "0",
+             "--levels", "64,32,16,8", "--first_voxel", "0.06",
+             "--points", "56", "--cap", "64",
+             "--max_neighbors", "8,8,8,8",
+             "--warm_start", coarse, "--out", fine],
+        )
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_lepard_checkpoint,
+        )
+
+        params, cfg = load_lepard_checkpoint(fine)
+        assert cfg.kpfcn.pyramid.level_sizes == (64, 32, 16, 8)
+        assert params
