@@ -145,6 +145,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if _os.environ.get("TRAIN_CPU") == "1":  # shape-shakeout runs off-TPU
+        jax.config.update("jax_platforms", "cpu")
+
     import optax
 
     from occlusionfusion_tpu.models.flow_train import (

@@ -86,6 +86,11 @@ def synthetic_pair(rng, n=192, cap=256, nonrigid=True, overlap=0.8,
     object sizes — without this the shipped checkpoint matched 0.35-
     radius training clouds but produced ~0 valid matches on the 0.12-
     radius DT4D eval blob."""
+    if n > cap:
+        raise ValueError(
+            f"synthetic_pair: points ({n}) must be <= cap ({cap}); "
+            "raise --cap or lower --points"
+        )
     s = rng.uniform(*scale_range)
     src = surface_cloud(rng, n) * np.float32(s)
     warped = (smooth_warp(rng, src, amplitude=warp_amplitude * s)
@@ -181,6 +186,39 @@ def main():
                          "pyramid-independent, so a coarse-trained matcher "
                          "warm-starts a finer one)")
     args = ap.parse_args()
+
+    # flag-consistency guards (silent interactions bit us in round 1):
+    # --max_neighbors would silently discard a --calibrate_neighbors
+    # result; --resume replaces the config wholesale from the side-car,
+    # so pyramid flags passed with it are dead; comma-list lengths must
+    # match or the mismatch surfaces as an IndexError inside the pyramid
+    if args.points > args.cap:
+        ap.error(f"--points ({args.points}) must be <= --cap ({args.cap})")
+    if args.max_neighbors and args.calibrate_neighbors:
+        ap.error(
+            "--max_neighbors and --calibrate_neighbors are mutually "
+            "exclusive (the override would discard the calibration)"
+        )
+    if args.max_neighbors and (
+        len(args.max_neighbors.split(",")) != len(args.levels.split(","))
+    ):
+        ap.error(
+            f"--max_neighbors has {len(args.max_neighbors.split(','))} "
+            f"entries but --levels has {len(args.levels.split(','))}"
+        )
+    if args.resume:
+        for flag, default in (
+            ("levels", ap.get_default("levels")),
+            ("first_voxel", ap.get_default("first_voxel")),
+            ("max_neighbors", ap.get_default("max_neighbors")),
+            ("full_depth", ap.get_default("full_depth")),
+        ):
+            if getattr(args, flag) != default:
+                ap.error(
+                    f"--{flag} is ignored with --resume (the config is "
+                    "restored from the checkpoint side-car); use "
+                    "--warm_start to seed params into a new pyramid"
+                )
 
     import jax
 

@@ -194,6 +194,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if _os.environ.get("TRAIN_CPU") == "1":  # shape-shakeout runs off-TPU
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import optax
 
