@@ -236,6 +236,9 @@ def _fused_register_frame_impl(
             motion_targets=problem.motion_targets,
             motion_confidence=problem.motion_confidence,
             solve_node_mask=problem.node_valid,
+            intrinsics=jnp.stack(
+                [intr.fx, intr.fy, intr.cx, intr.cy]
+            ).astype(jnp.float32),
         )
         result = solve_dense(
             gn_problem,

@@ -315,6 +315,11 @@ class DynamicFusion:
             deformed_nodes, depth, self.intr, self.tsdf_config.trunc_margin
         )
         node_visible = node_visible & self.node_valid
+        # continuous correspondence weights the solver consumes
+        # (model.py:1338 weights_k = source_weights * correspondence
+        # weights): projective matches weigh 1, flow-sourced matches
+        # weigh the MaskNet prediction
+        corr_weight = corr_valid.astype(jnp.float32)
 
         # optional optical-flow source (run_model.py:115-217 equivalent):
         # flow predicted source->target at full res, lifted to per-pixel 3D
@@ -351,10 +356,17 @@ class DynamicFusion:
             )[:, 0]
             ok = inb & (vsamp > 0.5) & (deformed_pts[:, 2] > 0)
             if self.mask_params is not None:
-                # MaskNet landmark-validity gate (model.py:969-994): only
-                # confidently-weighted flow samples override projective
+                # MaskNet (model.py:969-994): the threshold decides
+                # whether a flow sample overrides projective association;
+                # the continuous prediction then weights the residual in
+                # the solve (weights, not a gate — model.py:1338)
                 wsamp = bilinear_sample(flow_weights[..., None], uv)[:, 0]
                 ok = ok & (wsamp > self.config.flow_mask_threshold)
+                corr_weight = jnp.where(
+                    ok, jnp.clip(wsamp, 0.0, 1.0), corr_weight
+                )
+            else:
+                corr_weight = jnp.maximum(corr_weight, ok.astype(jnp.float32))
             targets = jnp.where(ok[:, None], sampled, targets)
             corr_valid = corr_valid | ok
 
@@ -389,6 +401,9 @@ class DynamicFusion:
             lepard_targets = deformed_pts + flow
             targets = jnp.where(flow_mask[:, None], lepard_targets, targets)
             corr_valid = corr_valid | flow_mask
+            corr_weight = jnp.maximum(
+                corr_weight, flow_mask.astype(jnp.float32)
+            )
 
         # 3. per-node motion observations
         node_motion, node_observed = node_motion_observations(
@@ -443,7 +458,7 @@ class DynamicFusion:
             target_points=targets,
             landmark_src=idx,
             landmark_tgt=idx,
-            landmark_valid=corr_valid,
+            landmark_valid=corr_weight,
             motion_targets=motion_targets,
             motion_confidence=motion_conf,
         )
@@ -469,6 +484,10 @@ class DynamicFusion:
                 motion_targets=problem.motion_targets,
                 motion_confidence=problem.motion_confidence,
                 solve_node_mask=problem.node_valid,
+                intrinsics=jnp.asarray(
+                    [self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy],
+                    jnp.float32,
+                ),
             )
             gn_cfg = cfg.gn if cfg.gn is not None else GNConfig(
                 iters=6,

@@ -76,6 +76,26 @@ class GNConfig(NamedTuple):
     #         (16.6 ms at 128 / 113.5 ms at 512 with bf16 A). Kept as
     #         the cross-validation twin.
     assembly: str = "auto"
+    # data-term parameterization (reference model/model.py:1306-1378):
+    # "point3d"  — isotropic 3D point-to-point residual (default)
+    # "2d_depth" — the reference's anisotropic stack: x-pixel + y-pixel
+    #         rows weighted w_flow and a camera-depth row weighted
+    #         w_depth. Under real depth-sensor noise (z noisy, lateral
+    #         accurate) this weights the accurate image-plane evidence
+    #         independently of the noisy depth axis. Targets stay 3D
+    #         camera-space points (problem.target_points); the solver
+    #         projects both sides through problem.intrinsics internally,
+    #         so all correspondence sources feed one interface. Needs
+    #         problem.intrinsics; the Pallas fused point-term kernel is
+    #         point3d-only, so assembly falls back to XLA blocks.
+    data_term: str = "point3d"
+    # per-row weights of the 2d_depth stack (lambda^2 semantics like
+    # w_point/w_arap). Original NeuralTracking trains with flow 1e-3 /
+    # depth 1; the fork's fusion path runs flow 0 / depth 1
+    # (model/model.py:98-104). Both rows are additionally scaled by
+    # sqrt(w_point) so the overall data-vs-ARAP balance is one knob.
+    w_flow: float = 1e-3
+    w_depth: float = 1.0
     # precision of the J^T J contraction in the dense assembly (the
     # heaviest MXU work per GN iteration). The curvature matrix only
     # steers the step direction — LM damping + the exact residual/
@@ -99,6 +119,8 @@ class GNProblem(NamedTuple):
     motion_targets: jnp.ndarray  # [N, 3]
     motion_confidence: jnp.ndarray  # [N]
     solve_node_mask: jnp.ndarray  # [N] True = free variable, False = frozen
+    # [4] fx, fy, cx, cy — required when config.data_term == "2d_depth"
+    intrinsics: jnp.ndarray = None
 
 
 class GNResult(NamedTuple):
@@ -107,6 +129,55 @@ class GNResult(NamedTuple):
     warped_points: jnp.ndarray
     residual_history: jnp.ndarray  # [iters] total squared residual
     valid: jnp.ndarray  # scalar bool: all iterations finite
+
+
+def _project_uvz(points, intr4):
+    """(u, v, z) image coordinates of camera-space points, without the
+    principal-point offset (it cancels in every residual difference).
+    eps guards padded zero points (``model/model.py:1319-1321``)."""
+    zinv = 1.0 / (points[..., 2] + 1e-7)
+    u = intr4[0] * points[..., 0] * zinv
+    v = intr4[1] * points[..., 1] * zinv
+    return u, v, points[..., 2]
+
+
+def data_residual_rows(warped, problem: GNProblem, config: GNConfig):
+    """Weighted data residual [P, 3] at the given warped points; the one
+    definition both solvers (matrix-free autodiff and dense analytic
+    assembly) share, so the two paths cannot drift apart."""
+    sw = jnp.sqrt(jnp.asarray(config.w_point, jnp.float32))
+    if config.data_term == "2d_depth":
+        sf = jnp.sqrt(jnp.asarray(config.w_flow, jnp.float32))
+        sd = jnp.sqrt(jnp.asarray(config.w_depth, jnp.float32))
+        u, v, z = _project_uvz(warped, problem.intrinsics)
+        tu, tv, tz = _project_uvz(problem.target_points, problem.intrinsics)
+        rows = jnp.stack(
+            [sf * (u - tu), sf * (v - tv), sd * (z - tz)], axis=-1
+        )
+    else:
+        rows = warped - problem.target_points
+    return sw * problem.point_valid[:, None] * rows
+
+
+def projection_row_scaling(warped, problem: GNProblem, config: GNConfig):
+    """[P, 3, 3] left factor G turning 3D-point jacobian rows into the
+    2d_depth rows: d(sf*u, sf*v, sd*z)/d(xyz) evaluated at the current
+    warped points (the reference's fx_div_z / -fx_mul_x_div_z_2 / depth
+    entries, ``model/model.py:1322-1366``). Returns None for point3d."""
+    if config.data_term != "2d_depth":
+        return None
+    P = warped.shape[0]
+    sf = jnp.sqrt(jnp.asarray(config.w_flow, jnp.float32))
+    sd = jnp.sqrt(jnp.asarray(config.w_depth, jnp.float32))
+    fx, fy = problem.intrinsics[0], problem.intrinsics[1]
+    zinv = 1.0 / (warped[:, 2] + 1e-7)
+    G = jnp.zeros((P, 3, 3), jnp.float32)
+    G = G.at[:, 0, 0].set(sf * fx * zinv)
+    G = G.at[:, 0, 2].set(-sf * fx * warped[:, 0] * zinv * zinv)
+    G = G.at[:, 1, 1].set(sf * fy * zinv)
+    G = G.at[:, 1, 2].set(-sf * fy * warped[:, 1] * zinv * zinv)
+    G = G.at[:, 2, 2].set(sd)
+    return G
 
 
 def _residuals(params, problem: GNProblem, config: GNConfig, base_R):
@@ -125,12 +196,7 @@ def _residuals(params, problem: GNProblem, config: GNConfig, base_R):
         problem.point_anchors,
         problem.point_weights,
     )
-    sw = jnp.sqrt(jnp.asarray(config.w_point, jnp.float32))
-    point_res = (
-        sw
-        * problem.point_valid[:, None]
-        * (warped - problem.target_points)
-    )
+    point_res = data_residual_rows(warped, problem, config)
 
     e = jnp.maximum(problem.edges, 0)
     g_i = problem.nodes[:, None]

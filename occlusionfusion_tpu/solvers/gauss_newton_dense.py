@@ -35,6 +35,8 @@ from occlusionfusion_tpu.solvers.gauss_newton import (
     GNConfig,
     GNProblem,
     GNResult,
+    data_residual_rows,
+    projection_row_scaling,
 )
 
 
@@ -64,7 +66,7 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
     warped = jnp.sum(
         problem.point_weights[..., None] * (local + g + tk), axis=1
     )
-    r_pt = sw * problem.point_valid[:, None] * (warped - problem.target_points)
+    r_pt = data_residual_rows(warped, problem, config)
 
     # jacobian blocks [P, K, 3, 6]: [-w hat(local) | w I]
     Jw = -hat(local) * w[..., None, None]  # [P, K, 3, 3]
@@ -72,6 +74,9 @@ def _assemble(problem: GNProblem, config: GNConfig, R, t):
         jnp.broadcast_to(jnp.eye(3), (P, K, 3, 3)) * w[..., None, None]
     )
     J = sw * jnp.concatenate([Jw, Jt], axis=-1)  # [P, K, 3, 6]
+    G = projection_row_scaling(warped, problem, config)
+    if G is not None:
+        J = jnp.einsum("pab,pkbc->pkac", G, J, precision="highest")
 
     # dense jacobian rows via one-hot anchors: [P, 3, N, 6] -> [3P, 6N]
     iota = jnp.arange(n, dtype=problem.point_anchors.dtype)
@@ -219,7 +224,13 @@ def build_pair_scatter_plan(
 
 def _resolve_assembly(config: GNConfig) -> str:
     """'auto' -> Pallas fused assembly on TPU, XLA blocks elsewhere
-    (Pallas interpret mode on CPU is orders of magnitude slower)."""
+    (Pallas interpret mode on CPU is orders of magnitude slower). The
+    Pallas point-term kernel hard-codes the point3d rows, so the
+    2d_depth data term always takes the XLA blocks path."""
+    if config.data_term == "2d_depth" and config.assembly in (
+        "auto", "blocks_pallas",
+    ):
+        return "blocks"
     if config.assembly == "auto":
         return (
             "blocks_pallas"
@@ -282,13 +293,13 @@ def _assemble_blocks(problem: GNProblem, config: GNConfig, R, t,
         warped = jnp.sum(
             problem.point_weights[..., None] * (local + g + tk), axis=1
         )
-        r_pt = (
-            sw * problem.point_valid[:, None]
-            * (warped - problem.target_points)
-        )
+        r_pt = data_residual_rows(warped, problem, config)
         Jw = -hat(local) * w[..., None, None]
         Jt = jnp.broadcast_to(jnp.eye(3), (P, K, 3, 3)) * w[..., None, None]
         J = sw * jnp.concatenate([Jw, Jt], axis=-1)  # [P, K, 3, 6]
+        G = projection_row_scaling(warped, problem, config)
+        if G is not None:
+            J = jnp.einsum("pab,pkbc->pkac", G, J, precision="highest")
 
         blk = jnp.einsum(
             "pkai,plaj->pklij", J, J,
@@ -444,6 +455,14 @@ def diag_blocks(problem: GNProblem, config: GNConfig, R, t):
     Jw = -hat(local) * w[..., None, None]
     Jt = jnp.broadcast_to(jnp.eye(3), (P, K, 3, 3)) * w[..., None, None]
     J = sw * jnp.concatenate([Jw, Jt], axis=-1)
+    if config.data_term == "2d_depth":
+        warped = jnp.sum(
+            problem.point_weights[..., None]
+            * (local + g + t[problem.point_anchors]),
+            axis=1,
+        )
+        G = projection_row_scaling(warped, problem, config)
+        J = jnp.einsum("pab,pkbc->pkac", G, J, precision="highest")
     blocks = jnp.einsum("pkai,pkaj->pkij", J, J, precision="highest")
     D = jax.ops.segment_sum(
         blocks.reshape(-1, 36), problem.point_anchors.reshape(-1),

@@ -51,11 +51,14 @@ def landmark_cost(
     tgt_idx: jnp.ndarray,  # [L] into targets
     mask: jnp.ndarray | None = None,  # [L]
 ) -> jnp.ndarray:
-    """sum over correspondences of squared distance (``loss.py:267-273``)."""
+    """sum over correspondences of squared distance (``loss.py:267-273``).
+
+    ``mask`` may be boolean (gate) or float (continuous correspondence
+    weights, the MaskNet-as-weights semantic of ``model.py:1338``)."""
     diff = warped[src_idx] - targets[tgt_idx]
     sq = jnp.sum(diff * diff, axis=-1)
     if mask is not None:
-        sq = jnp.where(mask, sq, 0.0)
+        sq = sq * mask.astype(sq.dtype)
     return jnp.sum(sq)
 
 

@@ -45,6 +45,16 @@ def main():
     ap.add_argument("--linear_solver", default="cholesky",
                     choices=("cholesky", "cg", "schur", "ns"),
                     help="linear solver inside gn_dense")
+    ap.add_argument("--gn_data_term", default="point3d",
+                    choices=("point3d", "2d_depth"),
+                    help="gn_dense data residual: isotropic 3D point-to-"
+                         "point, or the reference's anisotropic x-pixel/"
+                         "y-pixel/depth stack (model.py:1306-1378) — "
+                         "better under depth-sensor noise")
+    ap.add_argument("--gn_w_flow", type=float, default=1e-3,
+                    help="pixel-row weight of the 2d_depth term")
+    ap.add_argument("--gn_w_depth", type=float, default=1.0,
+                    help="depth-row weight of the 2d_depth term")
     ap.add_argument("--max_nodes", type=int, default=512)
     ap.add_argument("--max_points", type=int, default=8192)
     ap.add_argument("--growth_interval", type=int, default=0)
@@ -123,6 +133,8 @@ def main():
             iters=args.gn_iters, w_point=1.0, w_arap=2.0,
             w_motion=1.0 if motion_params is not None else 0.0,
             linear_solver=args.linear_solver,
+            data_term=args.gn_data_term,
+            w_flow=args.gn_w_flow, w_depth=args.gn_w_depth,
         )
     config = FusionConfig(
         vol_dim=(args.voxel_dim,) * 3,
