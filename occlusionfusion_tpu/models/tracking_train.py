@@ -1,0 +1,347 @@
+"""End-to-end differentiable tracking training: PWC-Net + MaskNet
+trained THROUGH the Gauss-Newton warp solve.
+
+This is the NeuralTracking paper's core contribution
+(``/root/reference/model/model.py:59-86`` ``LinearSolverLU`` custom
+backward; training forward ``:865-1537``; ``model/loss.py:27-71``
+DeformLoss with lambdas flow 5 / graph 2 / warp 2 / mask 1000): the flow
+net's targets and MaskNet's correspondence weights enter a GN solve over
+embedded-deformation node transforms, and the graph/warp losses
+backpropagate through the solve into both networks — so the networks
+learn to produce correspondences that make the SOLVER accurate, not just
+the flow.
+
+TPU-native differences from the reference:
+  * no hand-written LU backward — the solver (``solve_dense``) is plain
+    JAX (Cholesky has exact built-in derivatives; the GN iteration scan
+    is reverse-differentiated at the training iteration budget of ~3),
+  * continuous MaskNet weights enter the residuals directly as
+    ``point_valid`` (the reference's ``weights_k = source_weights *
+    correspondence_weights``, ``model.py:1338``) — the eval-time
+    threshold gate is never used in training,
+  * static shapes: match pixels are pre-sampled host-side to a fixed M
+    with a validity mask (vs the reference's per-item dynamic filtering
+    ``model.py:1088-1134``).
+
+The Pallas fused assembly kernel has no VJP, so training forces the XLA
+``blocks`` assembly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from occlusionfusion_tpu.fusion.flow_correspondence import (
+    flow_correspondences,
+)
+from occlusionfusion_tpu.models.deform_loss import (
+    DeformLossWeights,
+    graph_l2,
+    robust_l1,
+)
+from occlusionfusion_tpu.solvers.gauss_newton import GNConfig, GNProblem
+from occlusionfusion_tpu.solvers.gauss_newton_dense import solve_dense
+
+
+class TrackingSample(NamedTuple):
+    """One training pair with its deformation graph and ground truth.
+    All arrays static-shape; batch by stacking a leading axis + vmap."""
+
+    src_rgbxyz: jnp.ndarray  # [6, H, W] source RGB + point image
+    tgt_rgbxyz: jnp.ndarray  # [6, H, W]
+    flow_gt: jnp.ndarray  # [H, W, 2] full-res pixel flow
+    flow_valid: jnp.ndarray  # [H, W]
+    mask_gt: jnp.ndarray  # [H, W] 1 = correspondence trustworthy
+    # pre-sampled match pixels (static M)
+    match_idx: jnp.ndarray  # [M] flat pixel index into H*W
+    match_valid: jnp.ndarray  # [M]
+    source_points: jnp.ndarray  # [M, 3] backprojected source pixels
+    anchors: jnp.ndarray  # [M, K] node ids
+    skin_weights: jnp.ndarray  # [M, K]
+    gt_warped: jnp.ndarray  # [M, 3] GT deformed source points
+    # graph
+    nodes: jnp.ndarray  # [N, 3]
+    node_valid: jnp.ndarray  # [N]
+    edges: jnp.ndarray  # [N, Ke]
+    edge_weights: jnp.ndarray  # [N, Ke]
+    gt_node_trans: jnp.ndarray  # [N, 3]
+    intrinsics: jnp.ndarray  # [4] fx, fy, cx, cy
+
+
+def _train_gn_config(gn: GNConfig) -> GNConfig:
+    """Force a differentiable configuration (XLA blocks assembly)."""
+    return gn._replace(assembly="blocks")
+
+
+def tracking_forward(pwc_params, mask_params, sample: TrackingSample,
+                     gn: GNConfig):
+    """flow net -> lifted 3D targets -> MaskNet weights -> GN solve.
+
+    Returns (flow [H, W, 2], mask_weights [H, W], point_valid [M],
+    GNResult). Everything is differentiable w.r.t. both param trees."""
+    flow, lifted, valid, weights = flow_correspondences(
+        pwc_params, sample.src_rgbxyz, sample.tgt_rgbxyz,
+        mask_params=mask_params,
+    )
+    targets = lifted.reshape(-1, 3)[sample.match_idx]
+    w = weights.reshape(-1)[sample.match_idx]
+    v = valid.reshape(-1)[sample.match_idx]
+    point_valid = (
+        w * v.astype(jnp.float32) * sample.match_valid.astype(jnp.float32)
+    )
+    problem = GNProblem(
+        source_points=sample.source_points,
+        point_anchors=sample.anchors,
+        point_weights=sample.skin_weights,
+        target_points=targets,
+        point_valid=point_valid,
+        nodes=sample.nodes,
+        node_valid=sample.node_valid,
+        edges=sample.edges,
+        edge_weights=sample.edge_weights,
+        motion_targets=jnp.zeros_like(sample.nodes),
+        motion_confidence=jnp.zeros(sample.nodes.shape[0], jnp.float32),
+        solve_node_mask=sample.node_valid,
+        intrinsics=sample.intrinsics,
+    )
+    result = solve_dense(problem, _train_gn_config(gn))
+    return flow, weights, point_valid, result
+
+
+def tracking_loss(
+    pwc_params,
+    mask_params,
+    sample: TrackingSample,
+    gn: GNConfig,
+    weights: DeformLossWeights = DeformLossWeights(),
+):
+    """DeformLoss (``model/loss.py:27-71``): flow + graph + warp
+    (+ MaskNet BCE). Returns (total, dict of unweighted terms)."""
+    flow, mask_w, point_valid, result = tracking_forward(
+        pwc_params, mask_params, sample, gn
+    )
+    terms = {}
+    terms["flow"] = robust_l1(flow, sample.flow_gt, sample.flow_valid)
+    terms["graph"] = graph_l2(
+        result.translations, sample.gt_node_trans, sample.node_valid
+    )
+    warp_mask = sample.match_valid.astype(jnp.float32)
+    terms["warp"] = robust_l1(
+        result.warped_points, sample.gt_warped, warp_mask
+    )
+    total = (
+        weights.lambda_flow * terms["flow"]
+        + weights.lambda_graph * terms["graph"]
+        + weights.lambda_warp * terms["warp"]
+    )
+    if mask_params is not None:
+        p = jnp.clip(mask_w, 1e-6, 1 - 1e-6)
+        gt = sample.mask_gt.astype(jnp.float32)
+        bce = -(gt * jnp.log(p) + (1 - gt) * jnp.log(1 - p))
+        m = sample.flow_valid.astype(jnp.float32)
+        terms["mask"] = jnp.sum(bce * m) / jnp.maximum(jnp.sum(m), 1.0)
+        # reference lambda 1000 compensates an unmasked per-pixel mean;
+        # ours is a masked mean, so O(1) is the equivalent scale
+        total = total + min(weights.lambda_mask, 1.0) * terms["mask"]
+    return total, terms
+
+
+def make_tracking_train_step(optimizer, gn: GNConfig,
+                             weights: DeformLossWeights = DeformLossWeights(),
+                             with_mask: bool = True):
+    """Jitted (params, opt_state, batched sample) -> (params, opt_state,
+    loss, terms). params = {"pwc": ..., "mask": ...}; samples carry a
+    leading batch axis (vmapped loss, mean-reduced)."""
+
+    def loss_of(params, batch: TrackingSample):
+        def one(sample):
+            return tracking_loss(
+                params["pwc"],
+                params.get("mask") if with_mask else None,
+                sample, gn, weights,
+            )
+
+        totals, terms = jax.vmap(one)(batch)
+        return jnp.mean(totals), jax.tree.map(jnp.mean, terms)
+
+    @jax.jit
+    def train_step(params, opt_state, batch: TrackingSample):
+        (loss, terms), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            params, batch
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, terms
+
+    return train_step
+
+
+def epe3d(pwc_params, mask_params, sample: TrackingSample, gn: GNConfig):
+    """EPE-3D of the solver's warped points vs GT (the reference's eval
+    metric, ``model/evaluate.py:13-214``) — the A/B metric for
+    through-solver vs flow-only training."""
+    _, _, _, result = tracking_forward(pwc_params, mask_params, sample, gn)
+    err = jnp.linalg.norm(result.warped_points - sample.gt_warped, axis=-1)
+    m = sample.match_valid.astype(jnp.float32)
+    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# synthetic data: geometrically consistent RGB-D pairs + graph + GT warp
+
+
+def _smooth_field(rng, H, W, channels, scale, cells=4):
+    coarse = rng.randn(cells, cells, channels).astype(np.float32) * scale
+    ys = np.linspace(0, cells - 1 - 1e-4, H)
+    xs = np.linspace(0, cells - 1 - 1e-4, W)
+    y0 = ys.astype(int)
+    x0 = xs.astype(int)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    c00 = coarse[y0][:, x0]
+    c01 = coarse[y0][:, x0 + 1]
+    c10 = coarse[y0 + 1][:, x0]
+    c11 = coarse[y0 + 1][:, x0 + 1]
+    return (
+        c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
+        + c10 * fy * (1 - fx) + c11 * fy * fx
+    )
+
+
+def _bilinear(img, y, x):
+    H, W = img.shape[:2]
+    x0 = np.clip(np.floor(x).astype(int), 0, W - 2)
+    y0 = np.clip(np.floor(y).astype(int), 0, H - 2)
+    fx = np.clip(x - x0, 0, 1)[..., None]
+    fy = np.clip(y - y0, 0, 1)[..., None]
+    return (
+        img[y0, x0] * (1 - fx) * (1 - fy)
+        + img[y0, x0 + 1] * fx * (1 - fy)
+        + img[y0 + 1, x0] * (1 - fx) * fy
+        + img[y0 + 1, x0 + 1] * fx * fy
+    )
+
+
+def synthetic_tracking_sample(
+    rng: np.random.RandomState,
+    H: int = 64,
+    W: int = 64,
+    n_nodes: int = 32,
+    n_matches: int = 512,
+    warp_cm: float = 0.03,
+    occlusion: bool = True,
+) -> TrackingSample:
+    """Textured smooth surface under a smooth 3D displacement field.
+
+    Geometry is consistent end-to-end: the GT flow is the projection of
+    the GT 3D warp, the target RGB-D images are the source inverse-warped
+    by that flow (small-flow approximation), and an optional synthetic
+    occluder (a random rectangle of replaced target depth) creates
+    pixels whose lifted targets are WRONG — the signal MaskNet must
+    learn to down-weight (the reference's mask GT,
+    ``utils/nnutils.py:151-244``)."""
+    from occlusionfusion_tpu.geometry import skinning_weights
+    from occlusionfusion_tpu.ops.knn import knn_lax
+
+    fx = fy = np.float32(0.8 * max(H, W))
+    cx, cy = np.float32(W / 2), np.float32(H / 2)
+    tex = _smooth_field(rng, H, W, 3, 1.0, cells=8)
+    tex += 0.15 * rng.randn(H, W, 3).astype(np.float32)
+    im1 = (tex - tex.min()) / max(float(np.ptp(tex)), 1e-6)
+
+    depth1 = (1.0 + 0.25 * _smooth_field(rng, H, W, 1, 1.0, cells=3))[..., 0]
+    v, u = np.meshgrid(np.arange(H, dtype=np.float32),
+                       np.arange(W, dtype=np.float32), indexing="ij")
+    xyz1 = np.stack(
+        [(u - cx) / fx * depth1, (v - cy) / fy * depth1, depth1], axis=-1
+    ).astype(np.float32)
+
+    # smooth 3D displacement field over the surface
+    disp = _smooth_field(rng, H, W, 3, warp_cm, cells=3).astype(np.float32)
+    xyz_warped = xyz1 + disp
+    # GT flow = projection of the warped surface
+    u2 = fx * xyz_warped[..., 0] / xyz_warped[..., 2] + cx
+    v2 = fy * xyz_warped[..., 1] / xyz_warped[..., 2] + cy
+    flow_gt = np.stack([u2 - u, v2 - v], axis=-1).astype(np.float32)
+    inb = (u2 >= 0) & (u2 <= W - 1) & (v2 >= 0) & (v2 <= H - 1)
+
+    # target images: inverse-warp by the GT flow (small-flow approx)
+    im2 = _bilinear(im1, v - flow_gt[..., 1], u - flow_gt[..., 0]).astype(
+        np.float32
+    )
+    z2 = _bilinear(
+        xyz_warped[..., 2:3], v - flow_gt[..., 1], u - flow_gt[..., 0]
+    )[..., 0]
+    mask_gt = inb.copy()
+    if occlusion:
+        # replace a rectangle of target depth with a near plane: flow
+        # targets lifted there are wrong -> mask GT 0
+        h0 = rng.randint(0, H // 2)
+        w0 = rng.randint(0, W // 2)
+        hh = rng.randint(H // 6, H // 3)
+        ww = rng.randint(W // 6, W // 3)
+        z2[h0 : h0 + hh, w0 : w0 + ww] = 0.5
+        occluded = np.zeros((H, W), bool)
+        occluded[h0 : h0 + hh, w0 : w0 + ww] = True
+        # a source pixel is corrupted if its flowed position lands in
+        # the occluder (approximate with the source-grid box: flows are
+        # a few px)
+        mask_gt &= ~occluded
+    xyz2 = np.stack(
+        [(u - cx) / fx * z2, (v - cy) / fy * z2, z2], axis=-1
+    ).astype(np.float32)
+
+    src6 = np.concatenate(
+        [im1.transpose(2, 0, 1), xyz1.transpose(2, 0, 1)], 0
+    )
+    tgt6 = np.concatenate(
+        [im2.transpose(2, 0, 1), xyz2.transpose(2, 0, 1)], 0
+    )
+
+    # graph over the source surface
+    flat_idx = rng.permutation(H * W)
+    node_idx = flat_idx[:n_nodes]
+    nodes = xyz1.reshape(-1, 3)[node_idx]
+    gt_node_trans = disp.reshape(-1, 3)[node_idx]
+    coverage = 0.35
+    d2, idx = knn_lax(jnp.asarray(nodes), jnp.asarray(nodes), k=5)
+    edges = np.asarray(idx[:, 1:])
+    ew = np.exp(-np.asarray(d2[:, 1:]) / (2 * coverage**2))
+    ew = ew / ew.sum(axis=1, keepdims=True)
+
+    match_idx = flat_idx[n_nodes : n_nodes + n_matches]
+    source_points = xyz1.reshape(-1, 3)[match_idx]
+    gt_warped = xyz_warped.reshape(-1, 3)[match_idx]
+    anchors, skin_w, skin_valid = skinning_weights(
+        jnp.asarray(source_points), jnp.asarray(nodes), None, coverage, k=4
+    )
+    match_valid = np.asarray(skin_valid) & inb.reshape(-1)[match_idx]
+
+    return TrackingSample(
+        src_rgbxyz=jnp.asarray(src6),
+        tgt_rgbxyz=jnp.asarray(tgt6),
+        flow_gt=jnp.asarray(flow_gt),
+        flow_valid=jnp.asarray(inb),
+        mask_gt=jnp.asarray(mask_gt),
+        match_idx=jnp.asarray(match_idx.astype(np.int32)),
+        match_valid=jnp.asarray(match_valid),
+        source_points=jnp.asarray(source_points),
+        anchors=anchors,
+        skin_weights=skin_w,
+        gt_warped=jnp.asarray(gt_warped),
+        nodes=jnp.asarray(nodes),
+        node_valid=jnp.ones(n_nodes, bool),
+        edges=jnp.asarray(edges.astype(np.int32)),
+        edge_weights=jnp.asarray(ew.astype(np.float32)),
+        gt_node_trans=jnp.asarray(gt_node_trans),
+        intrinsics=jnp.asarray([fx, fy, cx, cy], jnp.float32),
+    )
+
+
+def stack_samples(samples) -> TrackingSample:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *samples)

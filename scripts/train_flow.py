@@ -142,6 +142,22 @@ def main():
     ap.add_argument("--save_every", type=int, default=500)
     ap.add_argument("--resume", default=None,
                     help="checkpoint npz to continue from (params only)")
+    ap.add_argument("--through_solver", action="store_true",
+                    help="end-to-end differentiable tracking training: "
+                         "graph/warp losses backprop THROUGH the "
+                         "Gauss-Newton solve into PWC+MaskNet (the "
+                         "NeuralTracking trick, model/model.py:59-86,"
+                         "865-1537). Implies --with_mask semantics; "
+                         "data is geometric RGB-D pairs with a GT warp")
+    ap.add_argument("--gn_iters", type=int, default=3,
+                    help="GN iterations inside --through_solver training")
+    ap.add_argument("--matches", type=int, default=512,
+                    help="match pixels per sample (--through_solver)")
+    ap.add_argument("--nodes", type=int, default=32,
+                    help="graph nodes per sample (--through_solver)")
+    ap.add_argument("--eval_pairs", type=int, default=8,
+                    help="held-out pairs for the EPE-3D eval "
+                         "(--through_solver)")
     args = ap.parse_args()
 
     import jax
@@ -175,6 +191,68 @@ def main():
         if args.with_mask and "mask" in loaded:
             params["mask"] = loaded["mask"]
         print(f"resumed params from {args.resume}")
+
+    if args.through_solver:
+        from occlusionfusion_tpu.models.tracking_train import (
+            epe3d,
+            make_tracking_train_step,
+            stack_samples,
+            synthetic_tracking_sample,
+        )
+        from occlusionfusion_tpu.solvers.gauss_newton import GNConfig
+
+        if "mask" not in params:
+            params["mask"] = init_masknet_params(
+                jax.random.PRNGKey(args.seed + 1)
+            )
+        gn = GNConfig(iters=args.gn_iters, w_arap=1.0)
+        opt = optax.adam(args.lr)
+        opt_state = opt.init(params)
+        step = make_tracking_train_step(opt, gn)
+
+        def make_samples(r, k):
+            return [
+                synthetic_tracking_sample(
+                    r, H=args.height, W=args.width,
+                    n_nodes=args.nodes, n_matches=args.matches,
+                )
+                for _ in range(k)
+            ]
+
+        heldout = stack_samples(
+            make_samples(np.random.RandomState(10_000 + args.seed),
+                         args.eval_pairs)
+        )
+        import jax.numpy as jnp
+
+        def eval_epe3d(p):
+            es = jax.vmap(
+                lambda s: epe3d(p["pwc"], p.get("mask"), s, gn)
+            )(heldout)
+            return float(jnp.mean(es))
+
+        t0 = time.time()
+        for i in range(args.steps):
+            batch = stack_samples(make_samples(rng, args.batch))
+            params, opt_state, loss, terms = step(params, opt_state, batch)
+            if i % args.log_every == 0 or i == args.steps - 1:
+                tstr = " ".join(
+                    f"{k} {float(v):.4f}" for k, v in sorted(terms.items())
+                )
+                print(
+                    f"step {i}: loss {float(loss):.4f} [{tstr}] "
+                    f"heldout_epe3d {eval_epe3d(params):.4f} m "
+                    f"({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+            if args.save_every and i and i % args.save_every == 0:
+                save_pytree(args.out, params)
+        save_pytree(args.out, params)
+        print(
+            f"saved {args.out}; final held-out EPE-3D "
+            f"{eval_epe3d(params):.4f} m"
+        )
+        return
 
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
