@@ -25,6 +25,14 @@ Reference-envelope run (the reference's own default scale — 128^3 @
   BENCH_MAX_NODES=512 BENCH_MAX_POINTS=8192 BENCH_BRICK=8 \
   BENCH_MAX_BRICKS=1024 BENCH_NODE_COVERAGE=0.05 BENCH_BUDGET_S=2400 \
   python bench.py          # add BENCH_MOTION=1 for the occlusion GNN
+
+Learned perception in-loop (the reference's hot loop runs PWC flow +
+Lepard matching + the motion GNN every frame, fusion.py:137-148):
+BENCH_FLOW=1 adds PWC+MaskNet flow correspondences (weights from
+BENCH_FLOW_CKPT, default checkpoints/flow.npz), BENCH_LEPARD=1 adds
+matcher scene flow (BENCH_LEPARD_CKPT, default
+checkpoints/lepard_trained.npz); combine with BENCH_MOTION=1 for the
+full reference loop.
 """
 
 import json
@@ -138,6 +146,29 @@ def bench_fusion():
     himg, wimg = (
         int(x) for x in os.environ.get("BENCH_IMG", "128x128").split("x")
     )
+    lepard_params = lepard_config = None
+    if os.environ.get("BENCH_LEPARD") == "1":
+        from occlusionfusion_tpu.models.checkpoint import (
+            load_lepard_checkpoint,
+        )
+
+        lepard_params, lepard_config = load_lepard_checkpoint(
+            os.environ.get(
+                "BENCH_LEPARD_CKPT", "checkpoints/lepard_trained.npz"
+            )
+        )
+    flow_params = mask_params = None
+    if os.environ.get("BENCH_FLOW") == "1":
+        from occlusionfusion_tpu.utils.snapshot import load_params
+        from occlusionfusion_tpu.models.checkpoint import normalize_indexed
+
+        ck = normalize_indexed(
+            load_params(
+                os.environ.get("BENCH_FLOW_CKPT", "checkpoints/flow.npz")
+            )
+        )
+        flow_params = ck["pwc"]
+        mask_params = ck.get("mask")
     cfg = FusionConfig(
         vol_dim=(vol, vol, vol), voxel_size=vox_size, node_coverage=ncov,
         max_nodes=int(os.environ.get("BENCH_MAX_NODES", "128")),
@@ -153,6 +184,11 @@ def bench_fusion():
         dense_skin_max_bytes=int(
             os.environ.get("BENCH_DENSE_SKIN_MAX", str(1 << 31))
         ),
+        use_lepard=lepard_params is not None,
+        use_flow=flow_params is not None,
+        lepard_max_target_points=int(
+            os.environ.get("BENCH_LEPARD_TARGETS", "2048")
+        ),
     )
     seq = make_sequence(24, himg, wimg)
     motion_params = None
@@ -164,7 +200,11 @@ def bench_fusion():
         )
 
         motion_params = load_motion_complete_params()
-    fusion = DynamicFusion(seq, cfg, motion_params=motion_params)
+    fusion = DynamicFusion(
+        seq, cfg, motion_params=motion_params,
+        lepard_params=lepard_params, lepard_config=lepard_config,
+        flow_params=flow_params, mask_params=mask_params,
+    )
     fusion.initialize(seq.load(0))
     sc, state, tables = fusion.build_fused(motion_params)
     state, info = fusion.register_frame_fused(
@@ -215,7 +255,7 @@ def bench_fusion():
             for _ in range(k):
                 state, infos = fused_register_chunk(
                     sc, state, tables, motion_params, depths, colors,
-                    fusion.intr,
+                    fusion.intr, fusion.perception,
                 )
             float(infos[0, 0])
             return time.perf_counter() - t0

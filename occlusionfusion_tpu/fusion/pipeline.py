@@ -968,6 +968,27 @@ class DynamicFusion:
             vox_dense_lo=vox_dense[1],
             gn_scatter_plan=gn_plan,
         )
+        # learned perception in-dispatch: params ride one pytree arg;
+        # the previous frame's RGB-XYZ image seeds the flow source
+        use_flow = cfg.use_flow and self.flow_params is not None
+        use_lepard = cfg.use_lepard and self.lepard_params is not None
+        self.perception = None
+        prev_rgbxyz = None
+        if use_flow or use_lepard:
+            self.perception = {}
+            if use_flow:
+                self.perception["flow"] = self.flow_params
+                self.perception["mask"] = self.mask_params
+            if use_lepard:
+                self.perception["lepard"] = self.lepard_params
+        if use_flow:
+            from occlusionfusion_tpu.fusion.fused_step import _rgbxyz_image
+
+            prev_rgbxyz = _rgbxyz_image(
+                jnp.asarray(self.prev_frame.depth),
+                jnp.asarray(self.prev_frame.color),
+                self.intr,
+            )
         # copy into the state: fused_register_frame donates these buffers,
         # so the object-style fields must keep their own copies
         state = FusionStepState(
@@ -975,6 +996,7 @@ class DynamicFusion:
             rotations=jnp.array(self.warp.rotations, copy=True),
             translations=jnp.array(self.warp.translations, copy=True),
             motion=init_state(cap),
+            prev_rgbxyz=prev_rgbxyz,
         )
         step_config = FusedStepConfig(
             tsdf=self.tsdf_config,
@@ -985,6 +1007,11 @@ class DynamicFusion:
             gn=cfg.gn,
             lbs_impl=cfg.lbs_impl,
             motion_levels=motion_levels,
+            use_flow=use_flow,
+            flow_mask_threshold=cfg.flow_mask_threshold,
+            use_lepard=use_lepard,
+            lepard=self.lepard_config if use_lepard else None,
+            lepard_max_target_points=cfg.lepard_max_target_points,
         )
         return step_config, state, tables
 
@@ -1001,7 +1028,90 @@ class DynamicFusion:
             jnp.asarray(frame.depth),
             jnp.asarray(frame.color),
             self.intr,
+            getattr(self, "perception", None),
         )
+
+    def run_fused(self, start: int = 0, end: int | None = None,
+                  skip: int = 1, chunk: int = 16, motion_params=None,
+                  keyframe_cb=None):
+        """Drive the whole sequence through the fused/chunked engine —
+        the SAME code path bench.py measures (one lax.scan dispatch per
+        ``chunk`` frames). Host work between chunks: frame decode plus
+        optional keyframe bookkeeping via ``keyframe_cb(self, frame)``
+        (pose graph / growth are host-side keyframe ops by design).
+
+        Returns a list of per-frame info dicts."""
+        from occlusionfusion_tpu.fusion.fused_step import (
+            fused_register_chunk,
+        )
+
+        end = end if end is not None else len(self.seq)
+        self.initialize(self.seq.load(start))
+        sc, state, tables = self.build_fused(motion_params)
+        ids = list(range(start + skip, end, skip))
+        infos = []
+        kint = self.config.keyframe_interval
+        for lo in range(0, len(ids), chunk):
+            chunk_ids = ids[lo : lo + chunk]
+            frames = [self.seq.load(i) for i in chunk_ids]
+            depths = jnp.stack([jnp.asarray(f.depth) for f in frames])
+            colors = jnp.stack([jnp.asarray(f.color) for f in frames])
+            state, out = fused_register_chunk(
+                sc, state, tables, motion_params, depths, colors,
+                self.intr, getattr(self, "perception", None),
+            )
+            out_np = np.asarray(out)
+            for j, i in enumerate(chunk_ids):
+                infos.append(
+                    {
+                        "frame": i,
+                        "final_loss": float(out_np[j, 0]),
+                        "n_correspondences": int(out_np[j, 1]),
+                        "n_visible_nodes": int(out_np[j, 2]),
+                        "mean_confidence": float(out_np[j, 3]),
+                    }
+                )
+            self.frame_id = chunk_ids[-1]
+            self.prev_frame = frames[-1]
+            gint = self.config.growth_interval
+            if gint and any(i % gint == 0 for i in chunk_ids):
+                # graph growth is a keyframe host op: adopt the resident
+                # state, grow, rebuild the device tables (same padded
+                # caps -> no recompile), carry motion history + flow
+                # source forward
+                self.adopt_fused_state(
+                    jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+                )
+                n_new = self._grow(frames[-1])
+                infos[-1]["n_new_nodes"] = n_new
+                if n_new:
+                    old_motion = state.motion
+                    old_prev = state.prev_rgbxyz
+                    sc, state, tables = self.build_fused(motion_params)
+                    state = state._replace(
+                        motion=old_motion, prev_rgbxyz=old_prev
+                    )
+            if kint and any(i % kint == 0 for i in chunk_ids):
+                self.adopt_fused_state(
+                    jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+                )
+                self._record_keyframe(frames[-1])
+                infos[-1]["pose_correction"] = self._relocalize(
+                    self.keyframes[-1]
+                )
+                infos[-1]["loop_closures"] = self._pose_graph_update()
+                # re-anchoring may have rigidly corrected the warp;
+                # carry it back into the resident fused state
+                state = state._replace(
+                    rotations=jnp.array(self.warp.rotations, copy=True),
+                    translations=jnp.array(
+                        self.warp.translations, copy=True
+                    ),
+                )
+            if keyframe_cb is not None:
+                keyframe_cb(self, frames[-1])
+        self.adopt_fused_state(state)
+        return infos
 
     def adopt_fused_state(self, state):
         """Copy a fused-path state back into the object-style fields."""

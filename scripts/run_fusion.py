@@ -29,6 +29,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--datadir", required=True)
     ap.add_argument("--results", default="results")
+    ap.add_argument("--engine", default="fused",
+                    choices=("fused", "object"),
+                    help="'fused': the chunked one-dispatch-per-K-frames "
+                         "engine bench.py measures (production path; "
+                         "growth/keyframes handled at chunk boundaries). "
+                         "'object': per-frame host-driven loop (per-frame "
+                         "npy exports, debugging)")
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="frames per fused dispatch (--engine fused)")
     ap.add_argument("--voxel_dim", type=int, default=128)
     ap.add_argument("--voxel_size", type=float, default=0.005)
     ap.add_argument("--node_coverage", type=float, default=0.05)
@@ -170,6 +179,39 @@ def main():
     os.makedirs(args.results, exist_ok=True)
     end = args.end_frame or len(seq)
     t0 = time.perf_counter()
+    if args.engine == "fused" and not args.resume_state:
+        # production path: the same fused/chunked engine bench.py times
+        infos = fusion.run_fused(
+            start=args.source_frame, end=end, skip=args.skip_rate,
+            chunk=args.chunk, motion_params=motion_params,
+        )
+        dt = time.perf_counter() - t0
+        for info in infos:
+            print(f"frame {info['frame']}: {info}")
+        print(
+            f"{len(infos)} frames in {dt:.1f}s "
+            f"({len(infos) / max(dt, 1e-9):.2f} fps incl. compile)"
+        )
+        np.save(
+            os.path.join(args.results, "deformed_nodes_final.npy"),
+            np.asarray(fusion.warp.deformed_nodes)[: fusion.node_count],
+        )
+        with open(os.path.join(args.results, "convergence.json"), "w") as fh:
+            json.dump(infos, fh, indent=1)
+        if args.keyframe_interval:
+            ids, R, t = fusion.trajectory()
+            np.savez(os.path.join(args.results, "trajectory.npz"),
+                     frame_ids=ids, rotations=R, translations=t)
+        verts, faces = fusion.get_deformed_mesh()
+        save_ply(os.path.join(args.results, "final_mesh.ply"), verts, faces)
+        if args.save_state:
+            fusion.save_state(args.save_state)
+            print(f"state snapshot -> {args.save_state}")
+        print(f"done; results in {args.results}")
+        return
+    if args.engine == "fused" and args.resume_state:
+        print("--resume_state drives the object engine (resumable "
+              "per-frame loop)")
     if args.resume_state:
         fusion.load_state(args.resume_state)
         start = fusion.frame_id + args.skip_rate
