@@ -130,3 +130,39 @@ def node_motion_observations(
         observed[:, None], num / jnp.maximum(den[:, None], 1e-6), 0.0
     )
     return motion, observed
+
+
+def cluster_match_filter(
+    point_anchors: jnp.ndarray,  # [P, K] node ids
+    point_weights: jnp.ndarray,  # [P, K] skinning weights
+    corr_weight: jnp.ndarray,  # [P] correspondence weights in [0, 1]
+    node_clusters: jnp.ndarray,  # [N] component id per node (-1 padded)
+    node_valid: jnp.ndarray,  # [N]
+    min_cluster_weight: float,
+):
+    """Freeze match-starved graph components (reference
+    ``model/model.py:1143-1221``): sum each match's skinning weights onto
+    its anchor nodes, reduce per connected component, and mark every node
+    of a component below ``min_cluster_weight`` as frozen. Matches
+    anchored to any frozen node are dropped too (their residuals would
+    otherwise drag the frozen component's neighbors).
+
+    The reference physically removes the nodes and reindexes
+    (``:1192-1221``); with static shapes the TPU design freezes them via
+    ``solve_node_mask`` instead — a starved component keeps its previous
+    transforms rather than exploding on garbage associations.
+
+    Returns (node_solve_mask [N] bool, corr_weight' [P])."""
+    n = node_clusters.shape[0]
+    w = point_weights * corr_weight[:, None]
+    match_w_node = jax.ops.segment_sum(
+        w.reshape(-1),
+        jnp.maximum(point_anchors, 0).reshape(-1),
+        num_segments=n,
+    ) * node_valid.astype(jnp.float32)
+    cid = jnp.clip(node_clusters, 0, n - 1)
+    cluster_w = jax.ops.segment_sum(match_w_node, cid, num_segments=n)
+    cluster_ok = cluster_w >= min_cluster_weight
+    node_ok = cluster_ok[cid] & node_valid & (node_clusters >= 0)
+    corr_ok = jnp.all(node_ok[jnp.maximum(point_anchors, 0)], axis=1)
+    return node_ok, corr_weight * corr_ok.astype(jnp.float32)

@@ -64,6 +64,9 @@ class FusionTables(NamedTuple):
     # assembly (solvers/gauss_newton_dense.PairScatterPlan); None ->
     # direct full-space segment_sum
     gn_scatter_plan: tuple = None
+    # connected-component id per node ([N] int32, -1 padded) — the
+    # cluster table for match-starved-component freezing; None disables
+    node_clusters: jnp.ndarray = None
 
 
 class FusionStepState(NamedTuple):
@@ -93,6 +96,12 @@ class FusedStepConfig(NamedTuple):
     use_lepard: bool = False
     lepard: tuple = None  # LepardConfig (static, hashable)
     lepard_max_target_points: int = 2048
+    # freeze graph components whose summed match weight falls below this
+    # (reference gn_remove_clusters_with_few_matches /
+    # gn_min_num_correspondences_per_cluster, model.py:1143-1221; their
+    # 1000-2000 at <=10k matches ~ a fixed count — here an absolute
+    # weight sum at the configured point cap). 0 disables.
+    min_cluster_matches: float = 0.0
     # "nicp" (Adam on SO(3) tangent, reference-faithful budget) or
     # "gn_dense" (dense-assembly Gauss-Newton — ~1 order of magnitude
     # faster per solve on TPU at equal accuracy; see solvers/)
@@ -271,6 +280,25 @@ def _fused_register_frame_impl(
         corr_valid = corr_valid | lmask
         corr_weight = jnp.maximum(corr_weight, lmask.astype(jnp.float32))
 
+    # 2d. freeze match-starved graph components (model.py:1143-1221):
+    # their nodes keep the previous transforms and their matches drop
+    # out of the solve instead of exploding on garbage association
+    solve_mask = tables.node_valid
+    if config.min_cluster_matches and tables.node_clusters is not None:
+        from occlusionfusion_tpu.fusion.correspondence import (
+            cluster_match_filter,
+        )
+
+        solve_mask, corr_weight = cluster_match_filter(
+            tables.point_anchors,
+            tables.point_weights,
+            corr_weight,
+            tables.node_clusters,
+            tables.node_valid,
+            config.min_cluster_matches,
+        )
+        corr_valid = corr_valid & (corr_weight > 0)
+
     # 3. per-node motion observations
     node_motion, node_observed = node_motion_observations(
         deformed_pts,
@@ -346,7 +374,7 @@ def _fused_register_frame_impl(
             edge_weights=problem.edge_weights,
             motion_targets=problem.motion_targets,
             motion_confidence=problem.motion_confidence,
-            solve_node_mask=problem.node_valid,
+            solve_node_mask=solve_mask,
             intrinsics=jnp.stack(
                 [intr.fx, intr.fy, intr.cx, intr.cy]
             ).astype(jnp.float32),

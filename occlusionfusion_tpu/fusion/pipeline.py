@@ -110,6 +110,10 @@ class FusionConfig:
     # not — rejecting it keeps deformation from masquerading as drift)
     loop_min_separation: int = 5
     loop_max_residual: float = 0.01
+    # freeze graph components whose summed match weight drops below this
+    # (reference gn_remove_clusters_with_few_matches, model.py:1143-1221);
+    # 0 disables (the reference's fusion settings default it off too)
+    min_cluster_matches: float = 0.0
     # re-localize (rigidly re-anchor the warp onto the current
     # observation) only as last-resort recovery: the model must be badly
     # off the surface (median residual above this) AND the rigid fix
@@ -220,6 +224,9 @@ class DynamicFusion:
         self.node_valid = jnp.asarray(node_valid)
         self.edges = jnp.asarray(edges_p)
         self.edge_weights = jnp.asarray(ew_p)
+        clusters_p = -np.ones(cap, np.int32)
+        clusters_p[:n] = graph.clusters
+        self.node_clusters = jnp.asarray(clusters_p)
 
         self.warp = W.create_warpfield(self.nodes, self.node_valid)
 
@@ -405,6 +412,23 @@ class DynamicFusion:
                 corr_weight, flow_mask.astype(jnp.float32)
             )
 
+        # 2d. freeze match-starved graph components (model.py:1143-1221)
+        solve_mask = self.node_valid
+        if cfg.min_cluster_matches:
+            from occlusionfusion_tpu.fusion.correspondence import (
+                cluster_match_filter,
+            )
+
+            solve_mask, corr_weight = cluster_match_filter(
+                self.point_table.anchors,
+                self.point_table.weights,
+                corr_weight,
+                self.node_clusters,
+                self.node_valid,
+                cfg.min_cluster_matches,
+            )
+            corr_valid = corr_valid & (corr_weight > 0)
+
         # 3. per-node motion observations
         node_motion, node_observed = node_motion_observations(
             deformed_pts,
@@ -483,7 +507,7 @@ class DynamicFusion:
                 edge_weights=problem.edge_weights,
                 motion_targets=problem.motion_targets,
                 motion_confidence=problem.motion_confidence,
-                solve_node_mask=problem.node_valid,
+                solve_node_mask=solve_mask,
                 intrinsics=jnp.asarray(
                     [self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy],
                     jnp.float32,
@@ -858,12 +882,25 @@ class DynamicFusion:
             cfg.node_coverage,
         )
         if res.n_new:
+            old_count = self.node_count
             self.warp = res.warp
             self.node_count = res.node_count
             self.edges = res.edges
             self.edge_weights = res.edge_weights
             self.nodes = res.warp.node_positions
             self.node_valid = res.warp.node_valid
+            # new nodes join the component of their nearest old node
+            # (growth attaches to existing surface by construction)
+            clusters = np.array(self.node_clusters)  # writable copy
+            nodes_np = np.asarray(self.nodes)
+            new_ids = np.arange(old_count, self.node_count)
+            if len(new_ids):
+                d = np.linalg.norm(
+                    nodes_np[new_ids, None] - nodes_np[None, :old_count],
+                    axis=-1,
+                )
+                clusters[new_ids] = clusters[np.argmin(d, axis=1)]
+                self.node_clusters = jnp.asarray(clusters)
             # re-skin the caches against the grown graph
             self.vox_table = self._skin_vox()
             self.point_table = W.skin(
@@ -967,6 +1004,9 @@ class DynamicFusion:
             vox_dense_hi=vox_dense[0],
             vox_dense_lo=vox_dense[1],
             gn_scatter_plan=gn_plan,
+            node_clusters=(
+                self.node_clusters if cfg.min_cluster_matches else None
+            ),
         )
         # learned perception in-dispatch: params ride one pytree arg;
         # the previous frame's RGB-XYZ image seeds the flow source
@@ -1012,6 +1052,7 @@ class DynamicFusion:
             use_lepard=use_lepard,
             lepard=self.lepard_config if use_lepard else None,
             lepard_max_target_points=cfg.lepard_max_target_points,
+            min_cluster_matches=cfg.min_cluster_matches,
         )
         return step_config, state, tables
 
@@ -1149,6 +1190,7 @@ class DynamicFusion:
             "node_valid": self.node_valid,
             "edges": self.edges,
             "edge_weights": self.edge_weights,
+            "node_clusters": self.node_clusters,
             "node_count": np.asarray(self.node_count, np.int32),
             "model_points": self.model_points,
             "model_valid": self.model_valid,
@@ -1213,6 +1255,12 @@ class DynamicFusion:
         self.node_valid = jnp.asarray(tree["node_valid"])
         self.edges = jnp.asarray(tree["edges"])
         self.edge_weights = jnp.asarray(tree["edge_weights"])
+        if "node_clusters" in tree:
+            self.node_clusters = jnp.asarray(tree["node_clusters"])
+        else:  # pre-cluster snapshot: one component
+            self.node_clusters = jnp.where(
+                jnp.asarray(tree["node_valid"]), 0, -1
+            ).astype(jnp.int32)
         self.node_count = int(tree["node_count"])
         self.warp = W.WarpFieldState(
             node_positions=self.nodes,

@@ -64,6 +64,10 @@ def main():
                     help="pixel-row weight of the 2d_depth term")
     ap.add_argument("--gn_w_depth", type=float, default=1.0,
                     help="depth-row weight of the 2d_depth term")
+    ap.add_argument("--min_cluster_matches", type=float, default=0.0,
+                    help="freeze graph components whose summed match "
+                         "weight drops below this (reference "
+                         "gn_remove_clusters_with_few_matches); 0 = off")
     ap.add_argument("--max_nodes", type=int, default=512)
     ap.add_argument("--max_points", type=int, default=8192)
     ap.add_argument("--growth_interval", type=int, default=0)
@@ -163,6 +167,7 @@ def main():
         use_flow=flow_params is not None,
         brick_size=args.brick_size,
         max_bricks=args.max_bricks,
+        min_cluster_matches=args.min_cluster_matches,
     )
     seq = RGBDSequence(
         args.datadir,
