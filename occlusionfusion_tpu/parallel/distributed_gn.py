@@ -175,7 +175,10 @@ def solve_distributed(
 
     sharded_problem = jax.device_put(
         problem,
-        GNProblem(*[NamedSharding(mesh, s) for s in point_spec]),
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), point_spec,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
     )
     R, t, warped, hist, ok = jax.jit(run)(sharded_problem)
     return GNResult(
@@ -184,4 +187,125 @@ def solve_distributed(
         warped_points=warped,
         residual_history=hist,
         valid=ok,
+    )
+
+
+def solve_dense_distributed(
+    mesh: Mesh,
+    problem: GNProblem,
+    config: GNConfig = GNConfig(),
+    axis: str = "data",
+    init_rotations: jnp.ndarray | None = None,
+    init_translations: jnp.ndarray | None = None,
+) -> GNResult:
+    """Distributed version of the PRODUCTION solver
+    (``solvers.gauss_newton_dense.solve_dense``): the per-point block
+    assembly — the dominant cost, measured ~9.5 of 11.4 ms/GN-iter at
+    cap 512 — runs on each device's point shard; ONE ``psum`` per GN
+    iteration reduces the assembled ([6N, 6N], [6N], scalar) normal
+    system, and the small Cholesky solve + retraction stay bitwise
+    replicated.
+
+    The replicated graph terms (ARAP, motion prior) are made
+    psum-exact by weight rescaling instead of a code fork: both enter
+    M/b/r^2 quadratically in (edge_weights, motion_confidence), so
+    dividing edge_weights by n_shards and motion_confidence by
+    sqrt(n_shards) makes the sum over shards reproduce the exact
+    single-device system.
+
+    P must divide by the axis size. Assembly is forced to the XLA
+    "blocks" path (shard-local)."""
+    n = problem.nodes.shape[0]
+    n_shards = mesh.shape[axis]
+    cfg = config._replace(assembly="blocks")
+
+    from occlusionfusion_tpu.solvers.gauss_newton_dense import (
+        _assemble_blocks,
+    )
+
+    def spec_of(name):
+        point_fields = (
+            "source_points", "point_anchors", "point_weights",
+            "target_points", "point_valid",
+        )
+        if getattr(problem, name) is None:
+            return None
+        return P(axis) if name in point_fields else P()
+
+    in_spec = GNProblem(**{f: spec_of(f) for f in GNProblem._fields})
+    R0 = (
+        init_rotations
+        if init_rotations is not None
+        else jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+    )
+    t0 = (
+        init_translations
+        if init_translations is not None
+        else jnp.zeros((n, 3), jnp.float32)
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(in_spec, P(), P()),
+        out_specs=(P(), P(), P(axis), P(), P()),
+        check_vma=False,
+    )
+    def run(local: GNProblem, R0, t0):
+        local = local._replace(
+            edge_weights=local.edge_weights / n_shards,
+            motion_confidence=local.motion_confidence
+            / jnp.sqrt(jnp.float32(n_shards)),
+        )
+        free = (
+            local.solve_node_mask & local.node_valid
+        ).astype(jnp.float32)
+        free6 = jnp.repeat(free, 6)
+
+        def gn_step(carry, _):
+            R, t, ok = carry
+            M, b, sq = _assemble_blocks(local, cfg, R, t)
+            M = jax.lax.psum(M, axis)
+            b = jax.lax.psum(b, axis)
+            sq = jax.lax.psum(sq, axis)
+            M = M * free6[:, None] * free6[None, :]
+            M = M + jnp.diag(
+                jnp.where(free6 > 0, cfg.lm_damping, 1.0)
+            )
+            rhs = -b * free6
+            chol, low = jax.scipy.linalg.cho_factor(M)
+            x = jax.scipy.linalg.cho_solve((chol, low), rhs).reshape(n, 6)
+            dw = x[:, :3] * cfg.step_length
+            dt = x[:, 3:] * cfg.step_length
+            finite = jnp.all(jnp.isfinite(dw)) & jnp.all(jnp.isfinite(dt))
+            dw = jnp.where(finite, dw, 0.0)
+            dt = jnp.where(finite, dt, 0.0)
+            R_new = jnp.einsum(
+                "nij,njk->nik", so3_exp(dw), R, precision="highest"
+            )
+            return (R_new, t + dt, ok & finite), sq
+
+        (R, t, ok), hist = jax.lax.scan(
+            gn_step, (R0, t0, jnp.bool_(True)), None, length=cfg.iters
+        )
+        warped = ed_warp(
+            local.source_points, local.nodes, R, t,
+            local.point_anchors, local.point_weights,
+        )
+        eye = jnp.eye(3, dtype=jnp.float32)
+        R = jnp.where(local.node_valid[:, None, None], R, eye)
+        t = jnp.where(local.node_valid[:, None], t, 0.0)
+        return R, t, warped, hist, ok
+
+    sharded_problem = jax.device_put(
+        problem,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), in_spec,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+    )
+    R, t, warped, hist, ok = jax.jit(run)(sharded_problem, R0, t0)
+    return GNResult(
+        rotations=R, translations=t, warped_points=warped,
+        residual_history=hist, valid=ok,
     )
