@@ -114,8 +114,9 @@ def augment_flow(
     max_offset: float = 2.0,
     noise_sigma: float = 0.5,
 ):
-    """Training-time flow augmentation (``image_proc.cpp:39``): add a
-    global offset + per-pixel noise to valid flow."""
+    """Cheap training-time flow jitter: global offset + per-pixel noise
+    on valid flow (supplementary to the rotation-composition
+    augmentation below)."""
     import jax
 
     k1, k2 = jax.random.split(key)
@@ -123,3 +124,94 @@ def augment_flow(
     noise = jax.random.normal(k2, flow.shape) * noise_sigma
     out = flow + offset + noise
     return jnp.where(mask[..., None], out, flow)
+
+
+def rotation_flow(h: int, w: int, angle: jnp.ndarray) -> jnp.ndarray:
+    """Dense [H, W, 2] pixel flow of an in-plane rotation about the
+    image center: for the rotated image's pixel p, the flow to its
+    source location in the original image (rotate an image by ``angle``
+    == sample the original at R(-angle)(p - c) + c)."""
+    v, u = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    ca, sa = jnp.cos(-angle), jnp.sin(-angle)
+    x = u - cx
+    y = v - cy
+    return jnp.stack(
+        [ca * x - sa * y + cx - u, sa * x + ca * y + cy - v], axis=-1
+    )
+
+
+def rotate_image(image: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotate [H, W, C] by ``angle`` about the center (bilinear)."""
+    return warp_image_with_flow(
+        image, rotation_flow(image.shape[0], image.shape[1], angle)
+    )
+
+
+def compose_flows(
+    flow_ab: jnp.ndarray,  # [H, W, 2] a -> b (dense over a)
+    flow_bc: jnp.ndarray,  # [H, W, 2] b -> c
+    valid_bc: jnp.ndarray,  # [H, W]
+):
+    """Chain two pixel-flow fields: sample flow_bc at p + flow_ab with
+    the reference's corner semantics (``image_proc.cpp:98-170``): all 4
+    bilinear corners valid -> bilinear blend; some valid -> the
+    NEAREST valid corner's flow; none -> invalid. Returns
+    (flow_ac [H, W, 2], valid [H, W])."""
+    H, W = flow_ab.shape[:2]
+    v, u = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px = u + flow_ab[..., 0]
+    py = v + flow_ab[..., 1]
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    corners_x = jnp.stack([x0, x0, x0 + 1, x0 + 1], -1)  # [H, W, 4]
+    corners_y = jnp.stack([y0, y0 + 1, y0, y0 + 1], -1)
+    inb = (
+        (corners_x >= 0) & (corners_x <= W - 1)
+        & (corners_y >= 0) & (corners_y <= H - 1)
+    )
+    cx = jnp.clip(corners_x, 0, W - 1).astype(jnp.int32)
+    cy = jnp.clip(corners_y, 0, H - 1).astype(jnp.int32)
+    cvalid = inb & valid_bc[cy, cx]
+    cflow = flow_bc[cy, cx]  # [H, W, 4, 2]
+    du = px - x0
+    dv = py - y0
+    w4 = jnp.stack(
+        [(1 - du) * (1 - dv), (1 - du) * dv, du * (1 - dv), du * dv], -1
+    )
+    bilinear = jnp.sum(w4[..., None] * cflow, axis=-2)
+    dist = jnp.hypot(corners_x - px[..., None], corners_y - py[..., None])
+    dist = jnp.where(cvalid, dist, jnp.inf)
+    nn = jnp.argmin(dist, axis=-1)
+    nearest = jnp.take_along_axis(
+        cflow, nn[..., None, None].repeat(2, -1), axis=-2
+    )[..., 0, :]
+    all4 = jnp.all(cvalid, axis=-1)
+    any_valid = jnp.any(cvalid, axis=-1)
+    sampled = jnp.where(all4[..., None], bilinear, nearest)
+    return flow_ab + sampled, any_valid
+
+
+def augmented_flow_from_rotation(
+    flow_sa2so: jnp.ndarray,  # [H, W, 2] source-augmented -> source
+    flow_so2to: jnp.ndarray,  # [H, W, 2] GT flow source -> target
+    valid_so2to: jnp.ndarray,  # [H, W]
+    flow_to2ta: jnp.ndarray,  # [H, W, 2] target -> target-augmented
+):
+    """``compute_augmented_flow_from_rotation``
+    (``csrc/cpu/image_proc.cpp:39-349``): compose the source-side
+    rotation, the GT flow, and the target-side rotation into the flow
+    between the two AUGMENTED images. Returns (flow [H, W, 2], valid).
+    The reference marks invalid pixels -inf; here they carry a mask."""
+    H, W = flow_sa2so.shape[:2]
+    c1, v1 = compose_flows(flow_sa2so, flow_so2to, valid_so2to)
+    c2, v2 = compose_flows(c1, flow_to2ta, jnp.ones((H, W), bool))
+    return c2, v1 & v2

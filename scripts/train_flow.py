@@ -93,7 +93,7 @@ def synthetic_rgbd6(rng, im, H, W):
     ).astype(np.float32)
 
 
-def make_batch(rng, batch, H, W, with_mask):
+def make_batch(rng, batch, H, W, with_mask, augment_rot=0.0):
     import jax.numpy as jnp
 
     from occlusionfusion_tpu.models.flow_train import FlowBatch
@@ -101,6 +101,28 @@ def make_batch(rng, batch, H, W, with_mask):
     im1s, im2s, flows, valids, s6, t6, mgt = [], [], [], [], [], [], []
     for _ in range(batch):
         im1, im2, flow, valid = synthetic_pair(rng, H, W)
+        if augment_rot:
+            # reference rotation augmentation (image_proc.cpp:39-349):
+            # rotate source and target independently and compose the GT
+            # flow through both rotations
+            from occlusionfusion_tpu.ops.image_warp import (
+                augmented_flow_from_rotation,
+                rotate_image,
+                rotation_flow,
+            )
+
+            a_s = jnp.float32(rng.uniform(-augment_rot, augment_rot))
+            a_t = jnp.float32(rng.uniform(-augment_rot, augment_rot))
+            im1 = np.asarray(rotate_image(jnp.asarray(im1), a_s))
+            im2 = np.asarray(rotate_image(jnp.asarray(im2), a_t))
+            aug, v = augmented_flow_from_rotation(
+                rotation_flow(H, W, a_s),
+                jnp.asarray(flow),
+                jnp.asarray(valid),
+                rotation_flow(H, W, -a_t),
+            )
+            flow = np.asarray(aug)
+            valid = np.asarray(v)
         im1s.append(im1)
         im2s.append(im2)
         flows.append(flow)
@@ -136,6 +158,10 @@ def main():
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--with_mask", action="store_true")
+    ap.add_argument("--augment_rot", type=float, default=0.0,
+                    help="rotation-composition flow augmentation: max\n"
+                         " |angle| (radians) applied independently to\n"
+                         " source and target (image_proc.cpp:39-349)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="checkpoints/flow.npz")
     ap.add_argument("--log_every", type=int, default=25)
@@ -158,6 +184,11 @@ def main():
     ap.add_argument("--eval_pairs", type=int, default=8,
                     help="held-out pairs for the EPE-3D eval "
                          "(--through_solver)")
+    ap.add_argument("--no_solver_terms", action="store_true",
+                    help="A/B ablation: same data/model/eval as "
+                         "--through_solver but zero the graph/warp loss "
+                         "terms (flow+mask supervision only) — isolates "
+                         "what backprop through the solver buys")
     args = ap.parse_args()
 
     import jax
@@ -208,7 +239,12 @@ def main():
         gn = GNConfig(iters=args.gn_iters, w_arap=1.0)
         opt = optax.adam(args.lr)
         opt_state = opt.init(params)
-        step = make_tracking_train_step(opt, gn)
+        from occlusionfusion_tpu.models.deform_loss import DeformLossWeights
+
+        lw = DeformLossWeights()
+        if args.no_solver_terms:
+            lw = lw._replace(lambda_graph=0.0, lambda_warp=0.0)
+        step = make_tracking_train_step(opt, gn, weights=lw)
 
         def make_samples(r, k):
             return [
@@ -261,7 +297,7 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         batch = make_batch(rng, args.batch, args.height, args.width,
-                           args.with_mask)
+                           args.with_mask, augment_rot=args.augment_rot)
         params, opt_state, loss = step(params, opt_state, batch)
         if i % args.log_every == 0 or i == args.steps - 1:
             e = float(
