@@ -179,7 +179,7 @@ def bench_fusion():
         use_motion_model=os.environ.get("BENCH_MOTION") == "1",
         solver=os.environ.get("BENCH_SOLVER", "gn_dense"),
         gn=gn,
-        brick_size=int(os.environ.get("BENCH_BRICK", "0")),
+        brick_size=int(os.environ.get("BENCH_BRICK", "-1")),
         max_bricks=int(os.environ.get("BENCH_MAX_BRICKS", "2048")),
         dense_skin_max_bytes=int(
             os.environ.get("BENCH_DENSE_SKIN_MAX", str(1 << 31))

@@ -69,12 +69,17 @@ class FusionConfig:
     lbs_impl: str = "auto"
     dense_skin_max_bytes: int = 1 << 30
     # sparse bricked TSDF (fusion/bricks.py): 0 = dense grid; >0 = brick
-    # edge in voxels. Only bricks within the truncation band of observed
-    # surface (dilated brick_dilate bricks for inter-keyframe motion)
-    # are allocated/warped/integrated — at the reference's 128^3 default
-    # the active set is typically 5-15% of the volume. The active set
-    # refreshes at growth keyframes (growth_interval).
-    brick_size: int = 0
+    # edge in voxels; -1 (default) = auto — bricked (edge 8) at >= 128^3
+    # virtual voxels, dense below. Only bricks within the truncation
+    # band of observed surface (dilated brick_dilate bricks for
+    # inter-keyframe motion) are allocated/warped/integrated — at the
+    # reference's 128^3 default the active set is typically 5-15% of
+    # the volume, and the dense 128^3 LBS program reproducibly fails
+    # the axon remote compiler (CLAUDE.md), so bricking is the
+    # production default at that scale. The active set refreshes at
+    # growth keyframes (growth_interval). Free-space-carving deviation
+    # quantified in tests/test_carving.py.
+    brick_size: int = -1
     max_bricks: int = 2048
     brick_dilate: int = 1
     # explicit Gauss-Newton config for solver="gn_dense" (None = derive
@@ -165,13 +170,20 @@ class DynamicFusion:
         origin = T.volume_bounds_from_frame(
             frame.depth, self.intr, cfg.vol_dim, cfg.voxel_size
         )
-        if cfg.brick_size:
+        # resolve brick_size -1 = auto: bricked at the reference's
+        # 128^3 envelope and above, dense below
+        self.brick_size = cfg.brick_size
+        if self.brick_size < 0:
+            self.brick_size = (
+                8 if int(np.prod(cfg.vol_dim)) >= 128**3 else 0
+            )
+        if self.brick_size:
             from occlusionfusion_tpu.fusion import bricks as BR
 
             self.brick_grid = BR.BrickGrid(
                 vol_dim=cfg.vol_dim,
                 voxel_size=cfg.voxel_size,
-                brick=cfg.brick_size,
+                brick=self.brick_size,
                 max_bricks=cfg.max_bricks,
             )
             ids = BR.active_bricks_from_depth(
@@ -1232,12 +1244,15 @@ class DynamicFusion:
             origin=jnp.asarray(td["origin"]),
         )
         if "brick_ids" in tree:
-            assert cfg.brick_size, (
+            assert cfg.brick_size != 0, (
                 "snapshot is bricked but config.brick_size == 0"
             )
+            # the brick edge is implied by the stored [MB, B, B, B]
+            # volume shape (authoritative under brick_size = -1 auto)
+            self.brick_size = int(np.asarray(td["tsdf"]).shape[1])
             self.brick_grid = BR.BrickGrid(
                 vol_dim=cfg.vol_dim, voxel_size=cfg.voxel_size,
-                brick=cfg.brick_size, max_bricks=cfg.max_bricks,
+                brick=self.brick_size, max_bricks=cfg.max_bricks,
             )
             self.brick_ids = np.asarray(tree["brick_ids"], np.int32)
             vox_np, bvalid = BR.brick_voxel_points(

@@ -90,9 +90,10 @@ def main():
     ap.add_argument("--resume_state", default=None,
                     help="resume from a --save_state snapshot instead of "
                          "initializing from the source frame")
-    ap.add_argument("--brick_size", type=int, default=0,
-                    help="sparse bricked TSDF: brick edge in voxels "
-                         "(0 = dense grid)")
+    ap.add_argument("--brick_size", type=int, default=-1,
+                    help="sparse bricked TSDF: brick edge in voxels; "
+                         "0 = dense grid; -1 (default) = auto (bricked "
+                         "at >= 128^3 voxels, dense below)")
     ap.add_argument("--max_bricks", type=int, default=2048)
     ap.add_argument("--max_depth", type=float, default=0.0,
                     help="zero depth beyond this cutoff (m); 0 = off")
