@@ -126,3 +126,54 @@ def pose_trajectory_ate(
         "rot_err_deg": float(np.mean(rot_err)),
         "keyframes": int(len(pos_err)),
     }
+
+
+def procedural_vertex_colors(verts: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Deterministic high-frequency texture over the surface (0..255):
+    optical flow needs appearance gradients; plain gray defeats it."""
+    v = np.asarray(verts, np.float32)
+    rng = np.random.RandomState(seed)
+    basis = rng.randn(3, 3).astype(np.float32) * 60.0
+    phase = rng.rand(3).astype(np.float32) * 6.28
+    c = 127.0 + 90.0 * np.sin(v @ basis.T + phase)
+    c += rng.randn(*c.shape).astype(np.float32) * 8.0
+    return np.clip(c, 0, 255).astype(np.float32)
+
+
+def anime_to_rgbd_sequence(
+    path: str,
+    intrinsics,
+    image_hw=(240, 320),
+    camera_offset=(0.0, 0.0, 1.5),
+    scale: float = 1.0,
+    splat_radius: int = 2,
+    max_frames: int | None = None,
+    vert_colors: np.ndarray | None = None,
+):
+    """Textured variant of ``anime_to_depth_sequence``: renders color
+    via the nearest-point composite (ops/rasterize.render_depth_color).
+    Returns (depths [F, H, W], colors [F, H, W, 3], gt [F, nv, 3])."""
+    import jax.numpy as jnp
+
+    from occlusionfusion_tpu.ops.rasterize import render_depth_color
+
+    verts, faces, offsets = load_anime(path)
+    n_frames = offsets.shape[0] + 1
+    if max_frames:
+        n_frames = min(n_frames, max_frames)
+    if vert_colors is None:
+        vert_colors = procedural_vertex_colors(verts)
+    center = verts.mean(0)
+    offset = np.asarray(camera_offset, np.float32)
+    cj = jnp.asarray(vert_colors)
+    depths, colors, gt = [], [], []
+    for f in range(n_frames):
+        v = (frame_vertices(verts, offsets, f) - center) * scale + offset
+        depth, color, _ = render_depth_color(
+            jnp.asarray(v), cj, intrinsics, image_hw,
+            splat_radius=splat_radius,
+        )
+        depths.append(np.asarray(depth))
+        colors.append(np.asarray(color))
+        gt.append(v.astype(np.float32))
+    return np.stack(depths), np.stack(colors), np.stack(gt)

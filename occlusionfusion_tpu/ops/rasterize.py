@@ -61,3 +61,57 @@ def render_depth(
         depth = jnp.minimum(depth, splat)
     mask = depth < _FAR
     return jnp.where(mask, depth, 0.0).reshape(H, W), mask.reshape(H, W)
+
+
+def render_depth_color(
+    points: jnp.ndarray,
+    colors: jnp.ndarray,  # [P, 3] 0..255
+    intr: Intrinsics,
+    image_hw: tuple[int, int],
+    point_valid: jnp.ndarray | None = None,
+    splat_radius: int = 1,
+):
+    """Depth + color splat: a second segment_min pass picks, per pixel,
+    the index of a point whose z attained the z-buffer minimum, and the
+    color image gathers from it (the point-splat analog of the
+    reference's pytorch3d alpha-composited renderer,
+    ``NonRigidICP/model/point_render.py:36-133``, restricted to the
+    hard nearest-point composite). Returns (depth, color [H, W, 3],
+    mask)."""
+    H, W = image_hw
+    depth, mask = render_depth(
+        points, intr, image_hw, point_valid=point_valid,
+        splat_radius=splat_radius,
+    )
+    z = points[:, 2]
+    valid = z > 1e-6
+    if point_valid is not None:
+        valid = valid & point_valid
+    zs = jnp.where(valid, z, 1.0)
+    u0 = jnp.round(points[:, 0] / zs * intr.fx + intr.cx).astype(jnp.int32)
+    v0 = jnp.round(points[:, 1] / zs * intr.fy + intr.cy).astype(jnp.int32)
+    P = points.shape[0]
+    depth_flat = depth.reshape(-1)
+    winner = jnp.full((H * W,), P, jnp.int32)
+    for dy in range(-splat_radius, splat_radius + 1):
+        for dx in range(-splat_radius, splat_radius + 1):
+            px = u0 + dx
+            py = v0 + dy
+            ok = valid & (px >= 0) & (px < W) & (py >= 0) & (py < H)
+            flat = jnp.where(ok, py * W + px, H * W)
+            at_min = ok & (
+                jnp.abs(z - depth_flat[jnp.minimum(flat, H * W - 1)])
+                < 1e-6
+            )
+            cand = jnp.where(at_min, jnp.arange(P, dtype=jnp.int32), P)
+            win = jax.ops.segment_min(
+                cand, flat, num_segments=H * W + 1
+            )[: H * W]
+            winner = jnp.minimum(winner, win)
+    safe = jnp.minimum(winner, P - 1)
+    color = jnp.where(
+        (winner < P)[:, None] & mask.reshape(-1)[:, None],
+        colors[safe],
+        0.0,
+    ).reshape(H, W, 3)
+    return depth, color, mask

@@ -34,10 +34,17 @@ def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0,
     ``shape="blob"``: sphere with a moving bulge (near-featureless —
     geometric matching cannot discriminate on it; good for testing the
     projective path). ``shape="limbs"``: sphere with 4 protruding lobes
-    (distinct local geometry, the regime KPConv features can match)."""
+    (distinct local geometry, the regime KPConv features can match).
+    ``shape="arms"``: ARTICULATED — a body with two long limbs that
+    swing about their shoulder joints, crossing in front of the body
+    (large rotational per-part motion + self-occlusion: the hard
+    regime VERDICT item 6 asks for)."""
     from occlusionfusion_tpu.data.deformingthings4d import save_anime
 
     rng = np.random.RandomState(seed)
+    if shape == "arms":
+        return _articulated_arms_anime(path, n_frames, n_verts, rng,
+                                       rotate_deg)
     v = rng.randn(n_verts, 3)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     r = np.full(n_verts, 0.12, np.float32)
@@ -75,6 +82,77 @@ def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0,
     return path
 
 
+def _articulated_arms_anime(path, n_frames, n_verts, rng, rotate_deg=0.0):
+    """Body ellipsoid + two limbs swinging about shoulder joints.
+
+    Each limb is a capsule of points whose vertices rotate RIGIDLY
+    about the shoulder by an angle oscillating over the clip; the left
+    limb swings across the camera axis so it passes in FRONT of the
+    body (self-occlusion)."""
+    from occlusionfusion_tpu.data.deformingthings4d import save_anime
+
+    n_body = n_verts // 2
+    n_limb = (n_verts - n_body) // 2
+    v = rng.randn(n_body, 3).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    body = v * np.asarray([0.09, 0.12, 0.07], np.float32)
+
+    def capsule(joint, axis, length=0.14, radius=0.025, n=n_limb):
+        t = rng.rand(n).astype(np.float32)
+        ring = rng.randn(n, 3).astype(np.float32)
+        axis = axis / np.linalg.norm(axis)
+        ring -= np.outer(ring @ axis, axis)
+        ring /= np.linalg.norm(ring, axis=1, keepdims=True) + 1e-9
+        return joint + np.outer(t * length, axis) + ring * radius
+
+    jointL = np.asarray([-0.09, 0.08, 0.0], np.float32)
+    jointR = np.asarray([0.09, 0.08, 0.0], np.float32)
+    limbL = capsule(jointL, np.asarray([-0.7, -1.0, 0.0]))
+    limbR = capsule(jointR, np.asarray([0.7, -1.0, 0.0]))
+    verts = np.concatenate([body, limbL, limbR]).astype(np.float32)
+    is_l = np.zeros(len(verts), bool)
+    is_l[n_body : n_body + n_limb] = True
+    is_r = np.zeros(len(verts), bool)
+    is_r[n_body + n_limb :] = True
+
+    def rot_about(pts, joint, axis, angle):
+        axis = axis / np.linalg.norm(axis)
+        K = np.asarray(
+            [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+             [-axis[1], axis[0], 0]], np.float32)
+        R = (
+            np.eye(3, dtype=np.float32)
+            + np.sin(angle) * K
+            + (1 - np.cos(angle)) * (K @ K)
+        )
+        return (pts - joint) @ R.T + joint
+
+    offsets = []
+    for f in range(1, n_frames):
+        phase = 2 * np.pi * f / n_frames
+        d = verts.copy()
+        # left limb swings about the x-axis toward the camera (-z),
+        # crossing in front of the body: strong self-occlusion
+        d[is_l] = rot_about(
+            d[is_l], jointL, np.asarray([1.0, 0, 0]),
+            0.9 * np.sin(phase),
+        )
+        # right limb swings in-plane about z
+        d[is_r] = rot_about(
+            d[is_r], jointR, np.asarray([0, 0, 1.0]),
+            0.7 * np.sin(phase + 1.0),
+        )
+        if rotate_deg:
+            a = np.deg2rad(rotate_deg) * f
+            Rz = np.asarray(
+                [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+                 [0, 0, 1]], np.float32)
+            d = d @ Rz.T
+        offsets.append((d - verts).astype(np.float32))
+    save_anime(path, verts, np.zeros((1, 3), np.int32), np.stack(offsets))
+    return path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--anime", default=None)
@@ -82,12 +160,20 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--solver", default="gn_dense")
     ap.add_argument("--use_motion_model", action="store_true")
-    ap.add_argument("--shape", default="blob", choices=("blob", "limbs"),
+    ap.add_argument("--shape", default="blob",
+                    choices=("blob", "limbs", "arms"),
                     help="synthetic clip geometry: featureless blob or "
                          "4-lobed shape with matchable local geometry")
     ap.add_argument("--rotate_deg", type=float, default=0.0,
                     help="synthetic clip: in-plane rotation per frame "
                     "(tangential motion, projective-blind)")
+    ap.add_argument("--textured", action="store_true",
+                    help="render procedural per-vertex texture instead "
+                         "of flat gray (needed for optical flow)")
+    ap.add_argument("--flow_weights", default=None,
+                    help="PWC(+MaskNet) checkpoint; adds the optical-"
+                         "flow correspondence source to the stepwise "
+                         "loop (implies --textured)")
     ap.add_argument("--lepard_weights", default=None,
                     help="trained matcher checkpoint; runs the stepwise "
                     "loop with learned scene flow (use_lepard)")
@@ -136,11 +222,21 @@ def main():
     intr = Intrinsics(
         np.float32(300.0), np.float32(300.0), np.float32(80.0), np.float32(80.0)
     )
+    textured = args.textured or args.flow_weights is not None
+    rendered_colors = None
     if args.gt is not None:
         if not args.trajectory:
             ap.error("--gt is only meaningful with --trajectory")
         gt = np.load(args.gt)
         depths = None
+    elif textured:
+        from occlusionfusion_tpu.data.deformingthings4d import (
+            anime_to_rgbd_sequence,
+        )
+
+        depths, rendered_colors, gt = anime_to_rgbd_sequence(
+            path, intr, image_hw=(160, 160), max_frames=args.frames
+        )
     else:
         depths, gt = anime_to_depth_sequence(
             path, intr, image_hw=(160, 160), max_frames=args.frames
@@ -158,7 +254,13 @@ def main():
                 json.dump(metrics, fh)
         return
 
-    colors = [np.full(depths[0].shape + (3,), 128.0, np.float32) for _ in depths]
+    if rendered_colors is not None:
+        colors = list(rendered_colors)
+    else:
+        colors = [
+            np.full(depths[0].shape + (3,), 128.0, np.float32)
+            for _ in depths
+        ]
     seq = ArraySequence(colors, list(depths), intr)
 
     motion_params = None
@@ -178,6 +280,15 @@ def main():
             args.lepard_weights
         )
         args.stepwise = True  # learned scene flow runs in the stepwise loop
+    flow_params = mask_params = None
+    if args.flow_weights:
+        from occlusionfusion_tpu.models.checkpoint import normalize_indexed
+        from occlusionfusion_tpu.utils.snapshot import load_params
+
+        ck = normalize_indexed(load_params(args.flow_weights))
+        flow_params = ck["pwc"]
+        mask_params = ck.get("mask")
+        args.stepwise = True
     cfg = FusionConfig(
         vol_dim=(64, 64, 64),
         voxel_size=0.006,
@@ -193,10 +304,13 @@ def main():
         use_motion_model=args.use_motion_model,
         solver=args.solver,
         use_lepard=lepard_params is not None,
+        use_flow=flow_params is not None,
     )
     fusion = DynamicFusion(seq, cfg, motion_params=motion_params,
                            lepard_params=lepard_params,
-                           lepard_config=lepard_config)
+                           lepard_config=lepard_config,
+                           flow_params=flow_params,
+                           mask_params=mask_params)
     t0 = time.perf_counter()
     fusion.initialize(seq.load(0))
     if args.stepwise:

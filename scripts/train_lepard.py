@@ -286,6 +286,22 @@ def main():
 
         warm_params, warm_cfg = load_lepard_checkpoint(args.warm_start)
 
+        # adopt the checkpoint's ARCHITECTURE (depth/width — the params
+        # must fit it) and replace only the pyramid from the flags:
+        # KPConv/transformer weights are pyramid-independent, which is
+        # the whole point of warm-starting into a finer pyramid
+        if args.full_depth and warm_cfg.kpfcn != K.full_depth_config(
+            pyramid=warm_cfg.kpfcn.pyramid
+        ):
+            raise SystemExit(
+                "--full_depth conflicts with the --warm_start "
+                "checkpoint's architecture"
+            )
+        cfg = warm_cfg._replace(
+            kpfcn=warm_cfg.kpfcn._replace(pyramid=pyramid)
+        )
+        params = init_lepard_params(jax.random.PRNGKey(args.seed), cfg)
+
         # checkpoints store dict keys as strings ('0') where fresh init
         # uses ints (0); match leaves by normalized path instead
         def _pathmap(tree):
