@@ -184,6 +184,12 @@ def main():
     ap.add_argument("--eval_pairs", type=int, default=8,
                     help="held-out pairs for the EPE-3D eval "
                          "(--through_solver)")
+    ap.add_argument("--sparse_flow_frac", type=float, default=1.0,
+                    help="fraction of pixels keeping flow GT during "
+                         "--through_solver training (the real-data "
+                         "regime: flow supervision is sparse/incomplete"
+                         " — the solver's graph/warp losses supervise "
+                         "through ALL matches regardless)")
     ap.add_argument("--no_solver_terms", action="store_true",
                     help="A/B ablation: same data/model/eval as "
                          "--through_solver but zero the graph/warp loss "
@@ -246,18 +252,28 @@ def main():
             lw = lw._replace(lambda_graph=0.0, lambda_warp=0.0)
         step = make_tracking_train_step(opt, gn, weights=lw)
 
-        def make_samples(r, k):
-            return [
-                synthetic_tracking_sample(
+        def make_samples(r, k, sparse=True):
+            out = []
+            for _ in range(k):
+                s = synthetic_tracking_sample(
                     r, H=args.height, W=args.width,
                     n_nodes=args.nodes, n_matches=args.matches,
                 )
-                for _ in range(k)
-            ]
+                if sparse and args.sparse_flow_frac < 1.0:
+                    import jax.numpy as jnp
+
+                    keep = r.rand(args.height, args.width) < (
+                        args.sparse_flow_frac
+                    )
+                    s = s._replace(
+                        flow_valid=s.flow_valid & jnp.asarray(keep)
+                    )
+                out.append(s)
+            return out
 
         heldout = stack_samples(
             make_samples(np.random.RandomState(10_000 + args.seed),
-                         args.eval_pairs)
+                         args.eval_pairs, sparse=False)
         )
         import jax.numpy as jnp
 

@@ -175,6 +175,14 @@ def main():
                          "clouds before training (reference "
                          "dataloader.py:563 calibrate_neighbors); ignored "
                          "with --resume (limits live in the side-car)")
+    ap.add_argument("--scale_range", default="0.3,1.3",
+                    help="global scale augmentation range of synthetic "
+                         "pairs. The wide default predates inference-"
+                         "time scale normalization (scene_flow "
+                         "normalize_radius rescales clouds to RMS 0.3 "
+                         "~ the scale-1.0 curriculum cloud); with it, "
+                         "narrow ranges (e.g. 0.9,1.1) concentrate "
+                         "capacity at the deployed scale")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", default=None,
                     help="checkpoint npz to continue from (params only; "
@@ -240,7 +248,10 @@ def main():
 
     levels = tuple(int(x) for x in args.levels.split(","))
     pyramid = K.PyramidConfig(level_sizes=levels, first_voxel=args.first_voxel)
-    pair_kw = dict(n=args.points, cap=args.cap)
+    pair_kw = dict(
+        n=args.points, cap=args.cap,
+        scale_range=tuple(float(x) for x in args.scale_range.split(",")),
+    )
     if args.calibrate_neighbors and not args.resume:
         cal_rng = np.random.RandomState(20_000 + args.seed)
 
