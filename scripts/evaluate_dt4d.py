@@ -38,118 +38,16 @@ def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0,
     ``shape="arms"``: ARTICULATED — a body with two long limbs that
     swing about their shoulder joints, crossing in front of the body
     (large rotational per-part motion + self-occlusion: the hard
-    regime VERDICT item 6 asks for)."""
+    regime VERDICT item 6 asks for). Generators live in
+    ``data/synthetic_shapes.py`` (shared with the flow trainer's
+    rendered-pair data path)."""
     from occlusionfusion_tpu.data.deformingthings4d import save_anime
+    from occlusionfusion_tpu.data.synthetic_shapes import shape_clip
 
-    rng = np.random.RandomState(seed)
-    if shape == "arms":
-        return _articulated_arms_anime(path, n_frames, n_verts, rng,
-                                       rotate_deg)
-    v = rng.randn(n_verts, 3)
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    r = np.full(n_verts, 0.12, np.float32)
-    if shape == "limbs":
-        limb_dirs = np.asarray(
-            [[1, 0, 0.3], [-1, 0.2, 0], [0, 1, -0.2], [0.2, -1, 0]],
-            np.float32,
-        )
-        limb_dirs /= np.linalg.norm(limb_dirs, axis=1, keepdims=True)
-        for d in limb_dirs:
-            w = np.maximum(v @ d, 0.0) ** 8
-            r = r + 0.06 * w.astype(np.float32)
-    verts = (v * r[:, None]).astype(np.float32)
-    faces = np.zeros((1, 3), np.int32)  # faces unused by the renderer
-    offsets = []
-    for f in range(1, n_frames):
-        phase = f / n_frames
-        # rigid drift + a traveling bulge
-        drift = np.asarray([0.0, 0.0, 0.002]) * f
-        bulge_dir = np.asarray(
-            [np.cos(2 * np.pi * phase), np.sin(2 * np.pi * phase), 0.0]
-        )
-        w = np.maximum(v @ bulge_dir, 0.0) ** 2
-        deformed = verts + (
-            drift + 0.03 * w[:, None] * v * phase
-        ).astype(np.float32)
-        if rotate_deg:
-            a = np.deg2rad(rotate_deg) * f
-            Rz = np.asarray(
-                [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
-                 [0, 0, 1]], np.float32)
-            deformed = deformed @ Rz.T
-        offsets.append((deformed - verts).astype(np.float32))
-    save_anime(path, verts, faces, np.stack(offsets))
-    return path
-
-
-def _articulated_arms_anime(path, n_frames, n_verts, rng, rotate_deg=0.0):
-    """Body ellipsoid + two limbs swinging about shoulder joints.
-
-    Each limb is a capsule of points whose vertices rotate RIGIDLY
-    about the shoulder by an angle oscillating over the clip; the left
-    limb swings across the camera axis so it passes in FRONT of the
-    body (self-occlusion)."""
-    from occlusionfusion_tpu.data.deformingthings4d import save_anime
-
-    n_body = n_verts // 2
-    n_limb = (n_verts - n_body) // 2
-    v = rng.randn(n_body, 3).astype(np.float32)
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    body = v * np.asarray([0.09, 0.12, 0.07], np.float32)
-
-    def capsule(joint, axis, length=0.14, radius=0.025, n=n_limb):
-        t = rng.rand(n).astype(np.float32)
-        ring = rng.randn(n, 3).astype(np.float32)
-        axis = axis / np.linalg.norm(axis)
-        ring -= np.outer(ring @ axis, axis)
-        ring /= np.linalg.norm(ring, axis=1, keepdims=True) + 1e-9
-        return joint + np.outer(t * length, axis) + ring * radius
-
-    jointL = np.asarray([-0.09, 0.08, 0.0], np.float32)
-    jointR = np.asarray([0.09, 0.08, 0.0], np.float32)
-    limbL = capsule(jointL, np.asarray([-0.7, -1.0, 0.0]))
-    limbR = capsule(jointR, np.asarray([0.7, -1.0, 0.0]))
-    verts = np.concatenate([body, limbL, limbR]).astype(np.float32)
-    is_l = np.zeros(len(verts), bool)
-    is_l[n_body : n_body + n_limb] = True
-    is_r = np.zeros(len(verts), bool)
-    is_r[n_body + n_limb :] = True
-
-    def rot_about(pts, joint, axis, angle):
-        axis = axis / np.linalg.norm(axis)
-        K = np.asarray(
-            [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
-             [-axis[1], axis[0], 0]], np.float32)
-        R = (
-            np.eye(3, dtype=np.float32)
-            + np.sin(angle) * K
-            + (1 - np.cos(angle)) * (K @ K)
-        )
-        return (pts - joint) @ R.T + joint
-
-    offsets = []
-    for f in range(1, n_frames):
-        phase = 2 * np.pi * f / n_frames
-        d = verts.copy()
-        # left limb swings about the x-axis toward the camera (-z),
-        # crossing in front of the body: strong self-occlusion
-        d[is_l] = rot_about(
-            d[is_l], jointL, np.asarray([1.0, 0, 0]),
-            0.9 * np.sin(phase),
-        )
-        # right limb swings in-plane about z
-        d[is_r] = rot_about(
-            d[is_r], jointR, np.asarray([0, 0, 1.0]),
-            0.7 * np.sin(phase + 1.0),
-        )
-        if rotate_deg:
-            a = np.deg2rad(rotate_deg) * f
-            Rz = np.asarray(
-                [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
-                 [0, 0, 1]], np.float32)
-            d = d @ Rz.T
-        offsets.append((d - verts).astype(np.float32))
-    save_anime(path, verts, np.zeros((1, 3), np.int32), np.stack(offsets))
+    verts, faces, offsets = shape_clip(
+        shape, n_frames, n_verts, seed=seed, rotate_deg=rotate_deg
+    )
+    save_anime(path, verts, faces, offsets)
     return path
 
 
@@ -193,8 +91,17 @@ def main():
         "GT for --trajectory scoring; otherwise GT is re-rendered from "
         "the .anime clip)",
     )
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the accelerator backend; default forces "
+                         "CPU (this is a correctness eval — per-frame "
+                         "stepwise dispatches through the axon relay are "
+                         "pathologically slow, see CLAUDE.md)")
     args = ap.parse_args()
 
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from occlusionfusion_tpu.data.deformingthings4d import (
