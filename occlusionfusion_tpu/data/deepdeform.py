@@ -119,6 +119,20 @@ class DeepDeformDataset:
                 graph_nodes=nodes_p, graph_edges=edges_p,
                 graph_edges_weights=w_p, graph_mask=mask,
             )
+            if "graph_clusters" in s:
+                cl = formats.load_graph_clusters(
+                    self._abs(s["graph_clusters"])
+                ).reshape(-1)
+                cl_p = -np.ones(cap, np.int32)
+                cl_p[:n] = cl
+                out["graph_clusters"] = cl_p
+            if "graph_node_deformations" in s:
+                gd = formats.load_graph_nodes(
+                    self._abs(s["graph_node_deformations"])
+                )
+                gd_p = np.zeros((cap, 3), np.float32)
+                gd_p[:n] = gd
+                out["graph_node_deformations"] = gd_p
         if "pixel_anchors" in s:
             out["pixel_anchors"] = formats.load_int_image(
                 self._abs(s["pixel_anchors"])

@@ -141,6 +141,68 @@ def make_batch_rendered(rng, batch, H, W, with_mask, shapes, n_verts,
     )
 
 
+def make_batch_deepdeform(ds, rng, batch, H, W, with_mask, depth_tol=0.02):
+    """Batches from a DeepDeform-layout dataset (real DeepDeform or a
+    scripts/export_deepdeform.py synthetic export). Streams samples by
+    random index (no preload — real splits are ~100k pairs); flow GT
+    holes use the format's -Inf sentinel; mask GT is re-derived as
+    depth-consistency of the GT-flowed target (``utils/nnutils.py``
+    mask-GT semantics)."""
+    import jax.numpy as jnp
+
+    from occlusionfusion_tpu.models.flow_train import FlowBatch
+
+    Hp = -(-H // 64) * 64
+    Wp = -(-W // 64) * 64
+
+    def pad(a, fill=0.0):
+        widths = [(0, Hp - H), (0, Wp - W)] + [(0, 0)] * (a.ndim - 2)
+        return np.pad(a, widths, constant_values=fill)
+
+    im1s, im2s, flows, valids, s6, t6, mgt = [], [], [], [], [], [], []
+    for _ in range(batch):
+        s = ds[int(rng.randint(len(ds)))]
+        src, tgt = s["source"], s["target"]  # [6, H, W]
+        flow = s["optical_flow"].transpose(1, 2, 0)
+        valid = np.isfinite(flow).all(-1) & (src[5] > 0)
+        flow = np.where(valid[..., None], flow, 0.0).astype(np.float32)
+        vv, uu = np.meshgrid(np.arange(H, dtype=np.float32),
+                             np.arange(W, dtype=np.float32), indexing="ij")
+        uj = np.clip(np.round(uu + flow[..., 0]).astype(int), 0, W - 1)
+        vj = np.clip(np.round(vv + flow[..., 1]).astype(int), 0, H - 1)
+        inb = (
+            (uu + flow[..., 0] >= 0) & (uu + flow[..., 0] <= W - 1)
+            & (vv + flow[..., 1] >= 0) & (vv + flow[..., 1] <= H - 1)
+        )
+        zgt = src[5] + np.where(
+            np.isfinite(s["scene_flow"][2]), s["scene_flow"][2], 0.0
+        )
+        ztgt = tgt[5][vj, uj]
+        mask = valid & inb & (ztgt > 0) & (np.abs(zgt - ztgt) < depth_tol)
+        im1s.append(pad(src[:3].transpose(1, 2, 0)))
+        im2s.append(pad(tgt[:3].transpose(1, 2, 0)))
+        flows.append(pad(flow))
+        valids.append(pad(valid, False))
+        if with_mask:
+            s6.append(pad(src.transpose(1, 2, 0)))
+            t6.append(pad(tgt.transpose(1, 2, 0)))
+            mgt.append(pad(mask, False))
+    kw = {}
+    if with_mask:
+        kw = dict(
+            src_rgbd6=jnp.asarray(np.stack(s6)),
+            tgt_rgbd6=jnp.asarray(np.stack(t6)),
+            mask_gt=jnp.asarray(np.stack(mgt)),
+        )
+    return FlowBatch(
+        im1=jnp.asarray(np.stack(im1s)),
+        im2=jnp.asarray(np.stack(im2s)),
+        flow_gt=jnp.asarray(np.stack(flows)),
+        flow_valid=jnp.asarray(np.stack(valids)),
+        **kw,
+    )
+
+
 def make_batch(rng, batch, H, W, with_mask, augment_rot=0.0):
     import jax.numpy as jnp
 
@@ -210,7 +272,8 @@ def main():
                     help="rotation-composition flow augmentation: max\n"
                          " |angle| (radians) applied independently to\n"
                          " source and target (image_proc.cpp:39-349)")
-    ap.add_argument("--data", default="noise", choices=("noise", "rendered"),
+    ap.add_argument("--data", default="noise",
+                    choices=("noise", "rendered", "deepdeform"),
                     help="noise: flat textured-noise pairs with smooth "
                          "synthetic flow (fast, domain-mismatched); "
                          "rendered: RGB-D pairs splat-rendered from the "
@@ -219,6 +282,12 @@ def main():
                          "domain the fusion loop actually runs on")
     ap.add_argument("--shapes", default="blob,limbs,arms",
                     help="comma list of shapes for --data rendered")
+    ap.add_argument("--deepdeform", default=None,
+                    help="DeepDeform-layout root for --data deepdeform "
+                         "(real dataset or scripts/export_deepdeform.py "
+                         "output)")
+    ap.add_argument("--split", default="train",
+                    help="split json name under --deepdeform")
     ap.add_argument("--verts", type=int, default=5000,
                     help="points per rendered shape (--data rendered)")
     ap.add_argument("--max_gap", type=int, default=2,
@@ -372,8 +441,28 @@ def main():
     step = make_flow_train_step(opt, with_mask=args.with_mask)
 
     shapes = tuple(s for s in args.shapes.split(",") if s)
+    ds = None
+    if args.data == "deepdeform":
+        if not args.deepdeform:
+            raise SystemExit("--data deepdeform requires --deepdeform ROOT")
+        from occlusionfusion_tpu.data.deepdeform import (
+            DeepDeformConfig,
+            DeepDeformDataset,
+        )
+
+        ds = DeepDeformDataset(
+            args.deepdeform, args.split,
+            DeepDeformConfig(
+                image_height=args.height, image_width=args.width
+            ),
+        )
+        print(f"deepdeform: {len(ds)} pairs from {args.deepdeform}")
 
     def next_batch(r):
+        if args.data == "deepdeform":
+            return make_batch_deepdeform(
+                ds, r, args.batch, args.height, args.width, args.with_mask
+            )
         if args.data == "rendered":
             return make_batch_rendered(
                 r, args.batch, args.height, args.width, args.with_mask,
