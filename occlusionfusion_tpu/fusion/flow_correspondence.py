@@ -87,6 +87,32 @@ def flow_correspondences(
     return flow, sampled, valid, weights
 
 
+@functools.partial(jax.jit, static_argnames=("patch_size",))
+def patchwise_max_weights(
+    weights: jnp.ndarray,  # [H, W] MaskNet correspondence weights
+    patch_size: int,
+) -> jnp.ndarray:
+    """Eval-time patchwise-max thresholding (``model/model.py:987-993``):
+    within every ``patch_size``-square, keep only the pixel(s) attaining
+    the patch's max weight (zero the rest) — per-patch non-max
+    suppression that feeds the solver one confident correspondence per
+    neighborhood instead of many mediocre ones. TPU-native: one
+    ``reduce_window`` max + nearest upsample by repeat (H, W padded up
+    to patch multiples; pad band weight 0 never wins a patch unless the
+    whole patch is 0, in which case selection is a no-op there)."""
+    H, W = weights.shape
+    p = patch_size
+    Hp = -(-H // p) * p
+    Wp = -(-W // p) * p
+    w = jnp.pad(weights, ((0, Hp - H), (0, Wp - W)))
+    pooled = jax.lax.reduce_window(
+        w, -jnp.inf, jax.lax.max, (p, p), (p, p), "VALID"
+    )
+    up = jnp.repeat(jnp.repeat(pooled, p, axis=0), p, axis=1)[:H, :W]
+    selected = jnp.abs(weights - up) <= 1e-8
+    return jnp.where(selected, weights, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("num_nodes",))
 def predicted_node_locations(
     target_points: jnp.ndarray,  # [H, W, 3] flow-lifted targets

@@ -91,6 +91,9 @@ class FusedStepConfig(NamedTuple):
     # PWC flow prev->current lifted to 3D targets, MaskNet-weighted
     use_flow: bool = False
     flow_mask_threshold: float = 0.35
+    # eval-time patchwise-max mask thresholding (model.py:987-993): keep
+    # only the best-weighted correspondence per PxP patch. 0 = off.
+    flow_mask_patch: int = 0
     # Lepard-style matcher scene flow on a device-side deterministic
     # subsample of the target depth cloud
     use_lepard: bool = False
@@ -236,6 +239,14 @@ def _fused_register_frame_impl(
             perception["flow"], state.prev_rgbxyz, cur_rgbxyz,
             mask_params=mask_params,
         )
+        if mask_params is not None and config.flow_mask_patch:
+            from occlusionfusion_tpu.fusion.flow_correspondence import (
+                patchwise_max_weights,
+            )
+
+            flow_weights = patchwise_max_weights(
+                flow_weights, config.flow_mask_patch
+            )
         z = jnp.maximum(deformed_pts[:, 2], 1e-6)
         u = deformed_pts[:, 0] / z * intr.fx + intr.cx
         v = deformed_pts[:, 1] / z * intr.fy + intr.cy

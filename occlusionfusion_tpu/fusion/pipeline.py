@@ -99,6 +99,11 @@ class FusionConfig:
     # association where the predicted correspondence weight exceeds this
     # (requires mask_params; ignored otherwise)
     flow_mask_threshold: float = 0.35
+    # eval-time patchwise-max mask thresholding (model.py:987-993): keep
+    # only the best-weighted correspondence per PxP patch (per-patch
+    # non-max suppression). 0 = off; mutually composable with the scalar
+    # threshold (patch selection first, then the > threshold gate).
+    flow_mask_patch: int = 0
     # keyframe pose graph for long-sequence drift correction (north-star
     # subsystem, no reference counterpart): record a keyframe every N
     # frames (0 = off); loop closures re-register the current model
@@ -362,6 +367,14 @@ class DynamicFusion:
                 self.flow_params, rgbxyz(self.prev_frame), rgbxyz(frame),
                 mask_params=self.mask_params,
             )
+            if self.mask_params is not None and self.config.flow_mask_patch:
+                from occlusionfusion_tpu.fusion.flow_correspondence import (
+                    patchwise_max_weights,
+                )
+
+                flow_weights = patchwise_max_weights(
+                    flow_weights, self.config.flow_mask_patch
+                )
             # sample flowed targets at the deformed points' projections
             z = jnp.maximum(deformed_pts[:, 2], 1e-6)
             u = deformed_pts[:, 0] / z * self.intr.fx + self.intr.cx
@@ -1061,6 +1074,7 @@ class DynamicFusion:
             motion_levels=motion_levels,
             use_flow=use_flow,
             flow_mask_threshold=cfg.flow_mask_threshold,
+            flow_mask_patch=cfg.flow_mask_patch,
             use_lepard=use_lepard,
             lepard=self.lepard_config if use_lepard else None,
             lepard_max_target_points=cfg.lepard_max_target_points,

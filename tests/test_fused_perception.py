@@ -175,3 +175,44 @@ class TestRunFusedDriver:
         infos = fusion.run_fused(chunk=2)
         assert len(infos) == 4
         assert all(np.isfinite(i["final_loss"]) for i in infos)
+
+
+class TestPatchwiseMaxWeights:
+    """Eval-time patchwise-max mask thresholding (model.py:987-993)."""
+
+    def test_keeps_only_patch_maxima(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from occlusionfusion_tpu.fusion.flow_correspondence import (
+            patchwise_max_weights,
+        )
+
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+        out = np.asarray(patchwise_max_weights(w, 4))
+        for py in range(4):
+            for px in range(4):
+                patch_in = np.asarray(w)[
+                    4 * py : 4 * py + 4, 4 * px : 4 * px + 4
+                ]
+                patch_out = out[4 * py : 4 * py + 4, 4 * px : 4 * px + 4]
+                # exactly the argmax survives with its original weight
+                assert (patch_out > 0).sum() == 1
+                assert patch_out.max() == patch_in.max()
+
+    def test_non_divisible_shape_pads_safely(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from occlusionfusion_tpu.fusion.flow_correspondence import (
+            patchwise_max_weights,
+        )
+
+        w = jnp.asarray(np.random.RandomState(1).rand(10, 13).astype(np.float32))
+        out = np.asarray(patchwise_max_weights(w, 4))
+        assert out.shape == (10, 13)
+        # survivors keep their weight; everything else is zeroed
+        nz = out > 0
+        np.testing.assert_allclose(out[nz], np.asarray(w)[nz])
+        assert 0 < nz.sum() <= 4 * 3 + 4  # at most one per (padded) patch
