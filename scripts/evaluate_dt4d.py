@@ -91,6 +91,11 @@ def main():
         "GT for --trajectory scoring; otherwise GT is re-rendered from "
         "the .anime clip)",
     )
+    ap.add_argument("--keyframe_interval", type=int, default=0,
+                    help="enable the keyframe pose graph in the stepwise "
+                         "loop (record every N frames; loop closure + "
+                         "relocalization as in run_fusion) — the drift "
+                         "A/B knob")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the accelerator backend; default forces "
                          "CPU (this is a correctness eval — per-frame "
@@ -212,7 +217,10 @@ def main():
         solver=args.solver,
         use_lepard=lepard_params is not None,
         use_flow=flow_params is not None,
+        keyframe_interval=args.keyframe_interval,
     )
+    if args.keyframe_interval:
+        args.stepwise = True  # pose graph lives in the stepwise loop
     fusion = DynamicFusion(seq, cfg, motion_params=motion_params,
                            lepard_params=lepard_params,
                            lepard_config=lepard_config,

@@ -135,6 +135,93 @@ def synthetic_pair(rng, n=192, cap=256, nonrigid=True, overlap=0.8,
     return src_p, sm, tgt_p, tm, cs, ct, cm
 
 
+def rendered_cloud_pair(rng, n=192, cap=256, shapes=("blob", "limbs", "arms"),
+                        n_verts=4000, H=160, W=160, match_tol=0.015,
+                        normalize_radius=0.3, max_gap=2):
+    """Domain-matched matcher pair: source/target clouds backprojected
+    from splat-rendered depth of the procedural deforming shapes, GT
+    correspondences from the known vertex motion (a source point matches
+    the target-cloud point nearest to its vertex's true target position,
+    if within ``match_tol`` — occluded regions stay unmatched, which is
+    the truth the matcher must learn to handle). Both clouds are
+    normalized exactly as ``scene_flow`` does at inference (joint
+    centroid, RMS radius -> ``normalize_radius``), so training sees the
+    deployed scale distribution. Same return layout as
+    ``synthetic_pair``."""
+    from occlusionfusion_tpu.data.deformingthings4d import frame_vertices
+    from occlusionfusion_tpu.data.synthetic_shapes import (
+        _backproject,
+        np_render,
+        shape_clip,
+    )
+    from occlusionfusion_tpu.geometry.camera import Intrinsics
+
+    intr = Intrinsics(
+        np.float32(300.0), np.float32(300.0),
+        np.float32(W / 2), np.float32(H / 2),
+    )
+    shape = shapes[rng.randint(len(shapes))]
+    n_frames = 10
+    verts, _, offs = shape_clip(
+        shape, n_frames, n_verts, seed=int(rng.randint(1 << 31)),
+        rotate_deg=float(rng.uniform(0.0, 6.0)),
+    )
+    center = verts.mean(0)
+    off = np.asarray([0.0, 0.0, 1.5], np.float32)
+    s = float(rng.uniform(0.8, 1.25))
+    i = int(rng.randint(0, n_frames - 1 - max_gap))
+    j = i + 1 + int(rng.randint(max_gap))
+    v_i = (frame_vertices(verts, offs, i) - center) * s + off
+    v_j = (frame_vertices(verts, offs, j) - center) * s + off
+    zeros = np.zeros((n_verts, 3), np.float32)
+    d1, _, m1, win = np_render(v_i, zeros, intr, (H, W), splat_radius=2)
+    d2, _, m2, _ = np_render(v_j, zeros, intr, (H, W), splat_radius=2)
+
+    src_xyz = _backproject(d1, intr)
+    ys, xs = np.nonzero(m1 & (win < n_verts))
+    pick_s = rng.choice(len(ys), min(n, len(ys)), replace=False)
+    src = src_xyz[ys[pick_s], xs[pick_s]].astype(np.float32)
+    gt_tgt_pos = v_j[win[ys[pick_s], xs[pick_s]]]
+
+    tgt_xyz = _backproject(d2, intr)
+    ty, tx = np.nonzero(m2)
+    pick_t = rng.choice(len(ty), min(cap, len(ty)), replace=False)
+    tgt = tgt_xyz[ty[pick_t], tx[pick_t]].astype(np.float32)
+
+    # GT correspondence: nearest kept target point to the true target
+    # position, gated by match_tol (metric space)
+    d = np.linalg.norm(gt_tgt_pos[:, None] - tgt[None], axis=-1)
+    nn = d.argmin(1)
+    ok = d[np.arange(len(nn)), nn] < match_tol
+
+    # inference-matching normalization (scene_flow normalize_radius)
+    both = np.concatenate([src, tgt])
+    c = both.mean(0)
+    rms = np.sqrt(np.mean(np.sum((both - c) ** 2, -1)))
+    sc = normalize_radius / max(rms, 1e-6)
+    src = (src - c) * sc
+    tgt = (tgt - c) * sc
+
+    ns, nt = len(src), len(tgt)
+    src_p = np.zeros((cap, 3), np.float32)
+    src_p[:ns] = src
+    sm = np.zeros(cap, bool)
+    sm[:ns] = True
+    tgt_p = np.zeros((cap, 3), np.float32)
+    tgt_p[:nt] = tgt
+    tm = np.zeros(cap, bool)
+    tm[:nt] = True
+    cs = np.zeros(cap, np.int32)
+    ct = np.zeros(cap, np.int32)
+    cm = np.zeros(cap, bool)
+    k = 0
+    for a in range(ns):
+        if ok[a] and k < cap:
+            cs[k], ct[k], cm[k] = a, nn[a], True
+            k += 1
+    return src_p, sm, tgt_p, tm, cs, ct, cm
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
@@ -183,6 +270,13 @@ def main():
                          "~ the scale-1.0 curriculum cloud); with it, "
                          "narrow ranges (e.g. 0.9,1.1) concentrate "
                          "capacity at the deployed scale")
+    ap.add_argument("--rendered_frac", type=float, default=0.0,
+                    help="fraction of training pairs drawn from rendered "
+                         "depth-cloud pairs of the procedural shapes "
+                         "(domain-matched: backprojected splat depth, "
+                         "occlusion-true correspondences, inference-"
+                         "normalized scale) instead of the abstract "
+                         "curriculum")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", default=None,
                     help="checkpoint npz to continue from (params only; "
@@ -411,6 +505,10 @@ def main():
             return tuple(jnp.asarray(s[k]) for k in (
                 "source", "source_mask", "target", "target_mask",
                 "corr_src", "corr_tgt", "corr_mask"))
+        if args.rendered_frac and rng.rand() < args.rendered_frac:
+            return tuple(jnp.asarray(x) for x in rendered_cloud_pair(
+                rng, n=args.points, cap=args.cap,
+            ))
         # curriculum: rotation magnitude and warp amplitude ramp up over
         # the first half of training
         ramp = min(1.0, frac * 2.0)
