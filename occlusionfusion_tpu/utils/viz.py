@@ -286,3 +286,144 @@ def plot_depth(path: str, depth: np.ndarray, title=""):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# headless shaded-mesh renderer (the open3d-viewer replacement)
+
+
+def _box_blur_masked(x: np.ndarray, mask: np.ndarray, r: int) -> np.ndarray:
+    """Mask-normalized (2r+1)-box blur via integral images."""
+    H, W = x.shape
+    w = mask.astype(np.float32)
+    xs = np.where(mask, x, 0.0).astype(np.float32)
+
+    def boxsum(a):
+        c = np.pad(np.cumsum(np.cumsum(a, 0), 1), ((1, 0), (1, 0)))
+        y0 = np.clip(np.arange(H) - r, 0, H)
+        y1 = np.clip(np.arange(H) + r + 1, 0, H)
+        x0 = np.clip(np.arange(W) - r, 0, W)
+        x1 = np.clip(np.arange(W) + r + 1, 0, W)
+        return (c[y1][:, x1] - c[y0][:, x1] - c[y1][:, x0] + c[y0][:, x0])
+
+    s, n = boxsum(xs), boxsum(w)
+    return np.where(mask, s / np.maximum(n, 1e-9), x)
+
+
+def render_mesh(
+    vertices: np.ndarray,
+    faces: np.ndarray | None = None,
+    image_hw=(480, 480),
+    colors: np.ndarray | None = None,
+    azimuth_deg: float = 0.0,
+    elevation_deg: float = 15.0,
+    distance: float | None = None,
+    light=(-0.3, -0.4, 0.85),
+    splat_radius: int = 2,
+    supersample: int = 2,
+) -> np.ndarray:
+    """Shaded turntable render -> uint8 [H, W, 3] image.
+
+    The open3d-window replacement for headless environments (the
+    reference's ``fusion_with_occlusion/vis/visualizer.py`` open3d
+    backend): orbits the camera around the mesh centroid, splats the
+    points through the same numpy z-buffer the data path uses, then
+    shades in SCREEN SPACE — normals from the rendered depth map's
+    gradients (smooth for point clouds regardless of splat-gap winners),
+    Lambertian + ambient, box-downsampled for antialiasing. ``faces``
+    is accepted for API parity but unused (point splatting needs none).
+    """
+    from occlusionfusion_tpu.data.synthetic_shapes import np_render
+    from occlusionfusion_tpu.geometry.camera import Intrinsics
+
+    v = np.asarray(vertices, np.float32)
+    center = v.mean(0)
+
+    # orbit camera: rotate the WORLD so the camera stays at -z
+    az = np.deg2rad(azimuth_deg)
+    el = np.deg2rad(elevation_deg)
+    Ry = np.asarray(
+        [[np.cos(az), 0, np.sin(az)], [0, 1, 0], [-np.sin(az), 0, np.cos(az)]],
+        np.float32)
+    Rx = np.asarray(
+        [[1, 0, 0], [0, np.cos(el), -np.sin(el)], [0, np.sin(el), np.cos(el)]],
+        np.float32)
+    R = Rx @ Ry
+    radius = float(np.linalg.norm(v - center, axis=1).max() + 1e-9)
+    if distance is None:
+        distance = 3.2 * radius
+    vc = (v - center) @ R.T + np.asarray([0, 0, distance], np.float32)
+
+    base = (
+        np.asarray(colors, np.float32)
+        if colors is not None
+        else np.full((len(vc), 3), np.float32(200.0))
+    )
+
+    H, W = image_hw
+    ss = max(int(supersample), 1)
+    Hs, Ws = H * ss, W * ss
+    # fill ~90% of the half-image at the orbit distance
+    f = 0.45 * min(Hs, Ws) * distance / radius
+    intr = Intrinsics(
+        np.float32(f), np.float32(f),
+        np.float32(Ws / 2), np.float32(Hs / 2),
+    )
+    depth, albedo, mask, _ = np_render(
+        vc, base, intr, (Hs, Ws), splat_radius=splat_radius * ss
+    )
+    # the splat depth is piecewise-constant (terraced at splat
+    # boundaries) — box-blur it over the valid mask before taking
+    # gradients or the normals speckle
+    depth = _box_blur_masked(depth, mask, splat_radius * ss + 1)
+    # screen-space normals from the depth gradient (camera space):
+    # p(u,v) = ((u-cx)/f z, (v-cy)/f z, z); n = dp/du x dp/dv
+    d = np.where(mask, depth, np.nan)
+    dzdv, dzdu = np.gradient(d)
+    vv, uu = np.mgrid[0:Hs, 0:Ws].astype(np.float32)
+    z = np.where(mask, depth, 1.0)
+    du = np.stack([(z + (uu - Ws / 2) * dzdu) / f, (vv - Hs / 2) * dzdu / f,
+                   dzdu], -1)
+    dv = np.stack([(uu - Ws / 2) * dzdv / f, (z + (vv - Hs / 2) * dzdv) / f,
+                   dzdv], -1)
+    n = np.cross(du, dv)
+    bad = ~np.isfinite(n).all(-1)
+    n[bad] = np.asarray([0.0, 0.0, -1.0])
+    n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
+    n[n[..., 2] > 0] *= -1.0  # face the camera
+
+    ld = np.asarray(light, np.float32)
+    ld /= np.linalg.norm(ld) + 1e-9
+    lam = np.clip(-(n @ ld), 0.0, 1.0)[..., None]
+    img = albedo * (0.3 + 0.7 * lam)
+    img = np.where(mask[..., None], img, 30.0)  # dark background
+    if ss > 1:
+        img = img.reshape(H, ss, W, ss, 3).mean((1, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def save_turntable(
+    path_pattern: str,
+    vertices: np.ndarray,
+    faces: np.ndarray | None = None,
+    n_views: int = 8,
+    **kw,
+) -> list:
+    """Write ``n_views`` orbit renders to ``path_pattern % index`` (PNG
+    via matplotlib imsave — PIL-free). Returns the written paths."""
+    paths = []
+    for i in range(n_views):
+        img = render_mesh(
+            vertices, faces, azimuth_deg=360.0 * i / n_views, **kw
+        )
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        p = path_pattern % i if "%" in path_pattern else path_pattern
+        plt.imsave(p, img)
+        paths.append(p)
+        if "%" not in path_pattern:
+            break
+    return paths
