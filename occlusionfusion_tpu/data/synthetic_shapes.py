@@ -26,7 +26,8 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def blob_or_limbs_clip(n_frames, n_verts, rng, rotate_deg=0.0, shape="blob"):
+def blob_or_limbs_clip(n_frames, n_verts, rng, rotate_deg=0.0, shape="blob",
+                       rotate_osc_deg=0.0):
     """Sphere with a traveling bulge; ``limbs`` adds 4 protruding lobes
     with matchable local geometry. rng draw order is load-bearing: the
     eval goldens pin clips generated from a given seed."""
@@ -56,8 +57,10 @@ def blob_or_limbs_clip(n_frames, n_verts, rng, rotate_deg=0.0, shape="blob"):
         deformed = verts + (
             drift + 0.03 * w[:, None] * v * phase
         ).astype(np.float32)
-        if rotate_deg:
-            a = np.deg2rad(rotate_deg) * f
+        a = np.deg2rad(rotate_deg) * f + np.deg2rad(
+            rotate_osc_deg
+        ) * np.sin(2 * np.pi * f / n_frames)
+        if a:
             Rz = np.asarray(
                 [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
                  [0, 0, 1]], np.float32)
@@ -66,7 +69,7 @@ def blob_or_limbs_clip(n_frames, n_verts, rng, rotate_deg=0.0, shape="blob"):
     return verts, faces, np.stack(offsets)
 
 
-def arms_clip(n_frames, n_verts, rng, rotate_deg=0.0):
+def arms_clip(n_frames, n_verts, rng, rotate_deg=0.0, rotate_osc_deg=0.0):
     """Body ellipsoid + two limbs swinging rigidly about shoulder
     joints; the left limb crosses in front of the body (self-occlusion —
     the hard regime of VERDICT round-1 item 6)."""
@@ -121,8 +124,10 @@ def arms_clip(n_frames, n_verts, rng, rotate_deg=0.0):
             d[is_r], jointR, np.asarray([0, 0, 1.0]),
             0.7 * np.sin(phase + 1.0),
         )
-        if rotate_deg:
-            a = np.deg2rad(rotate_deg) * f
+        a = np.deg2rad(rotate_deg) * f + np.deg2rad(
+            rotate_osc_deg
+        ) * np.sin(2 * np.pi * f / n_frames)
+        if a:
             Rz = np.asarray(
                 [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
                  [0, 0, 1]], np.float32)
@@ -131,13 +136,19 @@ def arms_clip(n_frames, n_verts, rng, rotate_deg=0.0):
     return verts, np.zeros((1, 3), np.int32), np.stack(offsets)
 
 
-def shape_clip(shape, n_frames, n_verts, seed=0, rotate_deg=0.0):
+def shape_clip(shape, n_frames, n_verts, seed=0, rotate_deg=0.0,
+               rotate_osc_deg=0.0):
     """Dispatch on shape name; one RandomState per clip, draw order
-    matching the original ``evaluate_dt4d.synthetic_anime``."""
+    matching the original ``evaluate_dt4d.synthetic_anime``.
+    ``rotate_osc_deg``: oscillating in-plane rotation (amplitude, one
+    period over the clip) — the object swings away and RETURNS, the
+    revisit regime keyframe loop closure exists for (a monotonic
+    rotate_deg never closes a loop)."""
     rng = np.random.RandomState(seed)
     if shape == "arms":
-        return arms_clip(n_frames, n_verts, rng, rotate_deg)
-    return blob_or_limbs_clip(n_frames, n_verts, rng, rotate_deg, shape)
+        return arms_clip(n_frames, n_verts, rng, rotate_deg, rotate_osc_deg)
+    return blob_or_limbs_clip(n_frames, n_verts, rng, rotate_deg, shape,
+                              rotate_osc_deg)
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,7 @@ import numpy as np
 
 
 def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0,
-                    rotate_deg=0.0, shape="blob"):
+                    rotate_deg=0.0, shape="blob", rotate_osc_deg=0.0):
     """Write a synthetic deforming clip (optional in-plane rotation of
     ``rotate_deg`` per frame — tangential motion that projective
     association is blind to, the regime the learned matcher exists for).
@@ -45,7 +45,8 @@ def synthetic_anime(path, n_frames=16, n_verts=6000, seed=0,
     from occlusionfusion_tpu.data.synthetic_shapes import shape_clip
 
     verts, faces, offsets = shape_clip(
-        shape, n_frames, n_verts, seed=seed, rotate_deg=rotate_deg
+        shape, n_frames, n_verts, seed=seed, rotate_deg=rotate_deg,
+        rotate_osc_deg=rotate_osc_deg,
     )
     save_anime(path, verts, faces, offsets)
     return path
@@ -65,6 +66,10 @@ def main():
     ap.add_argument("--rotate_deg", type=float, default=0.0,
                     help="synthetic clip: in-plane rotation per frame "
                     "(tangential motion, projective-blind)")
+    ap.add_argument("--rotate_osc", type=float, default=0.0,
+                    help="oscillating in-plane rotation amplitude (deg): "
+                         "the object swings away and returns — the "
+                         "revisit regime for keyframe loop closure")
     ap.add_argument("--textured", action="store_true",
                     help="render procedural per-vertex texture instead "
                          "of flat gray (needed for optical flow)")
@@ -129,6 +134,7 @@ def main():
         path = synthetic_anime(
             "/tmp/synthetic_clip.anime", args.frames + 1,
             rotate_deg=args.rotate_deg, shape=args.shape,
+            rotate_osc_deg=args.rotate_osc,
         )
 
     intr = Intrinsics(
