@@ -94,6 +94,9 @@ class FusedStepConfig(NamedTuple):
     # eval-time patchwise-max mask thresholding (model.py:987-993): keep
     # only the best-weighted correspondence per PxP patch. 0 = off.
     flow_mask_patch: int = 0
+    # "fill" = flow only rescues points without a valid projective
+    # target; "override" = reference behavior (see pipeline.FusionConfig)
+    flow_mode: str = "fill"
     # Lepard-style matcher scene flow on a device-side deterministic
     # subsample of the target depth cloud
     use_lepard: bool = False
@@ -261,6 +264,12 @@ def _fused_register_frame_impl(
         if mask_params is not None:
             wsamp = bilinear_sample(flow_weights[..., None], uv)[:, 0]
             ok = ok & (wsamp > config.flow_mask_threshold)
+        if config.flow_mode == "fill":
+            # rescue-only (see pipeline.FusionConfig.flow_mode): flow
+            # fills points without a valid projective target instead of
+            # overriding exact along-ray depth with flow pixel error
+            ok = ok & ~corr_valid
+        if mask_params is not None:
             corr_weight = jnp.where(
                 ok, jnp.clip(wsamp, 0.0, 1.0), corr_weight
             )

@@ -104,6 +104,12 @@ class FusionConfig:
     # non-max suppression). 0 = off; mutually composable with the scalar
     # threshold (patch selection first, then the > threshold gate).
     flow_mask_patch: int = 0
+    # how flow correspondences combine with projective association:
+    # "fill" (default) = flow only where no valid projective target
+    # exists; "override" = flow replaces projective wherever the mask
+    # gate passes (the reference's behavior — measurably worse when the
+    # flow net's pixel error exceeds projective depth accuracy)
+    flow_mode: str = "fill"
     # keyframe pose graph for long-sequence drift correction (north-star
     # subsystem, no reference counterpart): record a keyframe every N
     # frames (0 = off); loop closures re-register the current model
@@ -394,6 +400,15 @@ class DynamicFusion:
                 # the solve (weights, not a gate — model.py:1338)
                 wsamp = bilinear_sample(flow_weights[..., None], uv)[:, 0]
                 ok = ok & (wsamp > self.config.flow_mask_threshold)
+            if self.config.flow_mode == "fill":
+                # flow RESCUES points with no valid projective target
+                # (occlusion/disocclusion/large displacement) but never
+                # overrides a valid one: a projective target is exact
+                # along the ray while the lifted flow carries the flow
+                # net's pixel error (~mm) everywhere — measured on the
+                # arms clip, global override doubles tracking error
+                ok = ok & ~corr_valid
+            if self.mask_params is not None:
                 corr_weight = jnp.where(
                     ok, jnp.clip(wsamp, 0.0, 1.0), corr_weight
                 )
@@ -1075,6 +1090,7 @@ class DynamicFusion:
             use_flow=use_flow,
             flow_mask_threshold=cfg.flow_mask_threshold,
             flow_mask_patch=cfg.flow_mask_patch,
+            flow_mode=cfg.flow_mode,
             use_lepard=use_lepard,
             lepard=self.lepard_config if use_lepard else None,
             lepard_max_target_points=cfg.lepard_max_target_points,
