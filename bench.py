@@ -189,6 +189,7 @@ def bench_fusion():
         lepard_max_target_points=int(
             os.environ.get("BENCH_LEPARD_TARGETS", "2048")
         ),
+        flow_downscale=int(os.environ.get("BENCH_FLOW_DS", "1")),
     )
     seq = make_sequence(24, himg, wimg)
     motion_params = None

@@ -21,13 +21,14 @@ from occlusionfusion_tpu.geometry.camera import bilinear_sample
 from occlusionfusion_tpu.models.pwcnet import masknet_forward, pwcnet_forward
 
 
-@functools.partial(jax.jit, static_argnames=("flow_scale",))
+@functools.partial(jax.jit, static_argnames=("flow_scale", "downscale"))
 def flow_correspondences(
     pwc_params,
     source_rgbxyz: jnp.ndarray,  # [6, H, W] source RGB + point image
     target_rgbxyz: jnp.ndarray,  # [6, H, W]
     flow_scale: float = 20.0,
     mask_params=None,
+    downscale: int = 1,
 ):
     """Returns (flow [H, W, 2] full-res pixels, target_points [H, W, 3],
     valid [H, W], weights [H, W]).
@@ -42,22 +43,43 @@ def flow_correspondences(
     correspondence weights from the decoder features + both RGB-XYZ
     images (``model.py:969-994``) — the landmark-validity weighting the
     Gauss-Newton solver consumes. Without it, weights are 1 where valid.
+
+    ``downscale`` runs PWC (and MaskNet) at 1/ds resolution — the
+    correlation pyramid's cost falls ~ds^2 while the lift and the
+    returned fields stay full-res (flow values rescaled by ds). The
+    reference pins 448x640 (options.py:13-18); at the envelope that
+    makes PWC the hot-loop bottleneck.
     """
     H, W = source_rgbxyz.shape[1:]
+    ds = int(downscale)
+    Hd, Wd = H // ds, W // ds
+    if ds > 1:
+        src_d = jax.image.resize(
+            source_rgbxyz, (6, Hd, Wd), method="bilinear"
+        )
+        tgt_d = jax.image.resize(
+            target_rgbxyz, (6, Hd, Wd), method="bilinear"
+        )
+    else:
+        src_d, tgt_d = source_rgbxyz, target_rgbxyz
     # PWC's 6-level pyramid needs dims divisible by 64 (the reference
     # fixes its input at 448x640, options.py:13-18); zero-pad
     # bottom/right and crop the flow back
-    Hp = -(-H // 64) * 64
-    Wp = -(-W // 64) * 64
-    src_p = jnp.pad(source_rgbxyz, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    tgt_p = jnp.pad(target_rgbxyz, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    Hp = -(-Hd // 64) * 64
+    Wp = -(-Wd // 64) * 64
+    src_p = jnp.pad(src_d, ((0, 0), (0, Hp - Hd), (0, Wp - Wd)))
+    tgt_p = jnp.pad(tgt_d, ((0, 0), (0, Hp - Hd), (0, Wp - Wd)))
     im1 = src_p[None, :3].transpose(0, 2, 3, 1)
     im2 = tgt_p[None, :3].transpose(0, 2, 3, 1)
     flow_q, feat = pwcnet_forward(pwc_params, im1, im2)
     flow = (
         jax.image.resize(flow_q[0], (Hp, Wp, 2), method="bilinear")
         * flow_scale
-    )[:H, :W]
+    )[:Hd, :Wd]
+    if ds > 1:
+        flow = (
+            jax.image.resize(flow, (H, W, 2), method="bilinear") * ds
+        )
     v, u = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32),
         jnp.arange(W, dtype=jnp.float32),
@@ -80,7 +102,9 @@ def flow_correspondences(
             feat,
             src_p[None].transpose(0, 2, 3, 1),
             tgt_p[None].transpose(0, 2, 3, 1),
-        )[0, :H, :W, 0]
+        )[0, :Hd, :Wd, 0]
+        if ds > 1:
+            weights = jax.image.resize(weights, (H, W), method="bilinear")
         weights = jnp.where(valid, weights, 0.0)
     else:
         weights = valid.astype(jnp.float32)

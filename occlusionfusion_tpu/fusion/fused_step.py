@@ -97,6 +97,8 @@ class FusedStepConfig(NamedTuple):
     # "fill" = flow only rescues points without a valid projective
     # target; "override" = reference behavior (see pipeline.FusionConfig)
     flow_mode: str = "fill"
+    # PWC+MaskNet resolution divisor (pipeline.FusionConfig.flow_downscale)
+    flow_downscale: int = 1
     # Lepard-style matcher scene flow on a device-side deterministic
     # subsample of the target depth cloud
     use_lepard: bool = False
@@ -241,6 +243,7 @@ def _fused_register_frame_impl(
         _, flow_targets, flow_valid, flow_weights = flow_correspondences(
             perception["flow"], state.prev_rgbxyz, cur_rgbxyz,
             mask_params=mask_params,
+            downscale=config.flow_downscale,
         )
         if mask_params is not None and config.flow_mask_patch:
             from occlusionfusion_tpu.fusion.flow_correspondence import (

@@ -110,6 +110,11 @@ class FusionConfig:
     # gate passes (the reference's behavior — measurably worse when the
     # flow net's pixel error exceeds projective depth accuracy)
     flow_mode: str = "fill"
+    # run PWC+MaskNet at 1/N resolution (lift stays full-res): the
+    # correlation pyramid at the reference's 448x640 dominates the
+    # perception hot loop; 2 quarters its cost for ~proportional px
+    # error (which the fill semantics tolerate)
+    flow_downscale: int = 1
     # keyframe pose graph for long-sequence drift correction (north-star
     # subsystem, no reference counterpart): record a keyframe every N
     # frames (0 = off); loop closures re-register the current model
@@ -372,6 +377,7 @@ class DynamicFusion:
             _, flow_targets, flow_valid, flow_weights = flow_correspondences(
                 self.flow_params, rgbxyz(self.prev_frame), rgbxyz(frame),
                 mask_params=self.mask_params,
+                downscale=self.config.flow_downscale,
             )
             if self.mask_params is not None and self.config.flow_mask_patch:
                 from occlusionfusion_tpu.fusion.flow_correspondence import (
@@ -1091,6 +1097,7 @@ class DynamicFusion:
             flow_mask_threshold=cfg.flow_mask_threshold,
             flow_mask_patch=cfg.flow_mask_patch,
             flow_mode=cfg.flow_mode,
+            flow_downscale=cfg.flow_downscale,
             use_lepard=use_lepard,
             lepard=self.lepard_config if use_lepard else None,
             lepard_max_target_points=cfg.lepard_max_target_points,

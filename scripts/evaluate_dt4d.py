@@ -77,6 +77,9 @@ def main():
                     help="PWC(+MaskNet) checkpoint; adds the optical-"
                          "flow correspondence source to the stepwise "
                          "loop (implies --textured)")
+    ap.add_argument("--flow_downscale", type=int, default=1,
+                    help="run PWC+MaskNet at 1/N resolution (lift stays "
+                         "full-res)")
     ap.add_argument("--lepard_weights", default=None,
                     help="trained matcher checkpoint; runs the stepwise "
                     "loop with learned scene flow (use_lepard)")
@@ -224,6 +227,7 @@ def main():
         use_lepard=lepard_params is not None,
         use_flow=flow_params is not None,
         keyframe_interval=args.keyframe_interval,
+        flow_downscale=args.flow_downscale,
     )
     if args.keyframe_interval:
         args.stepwise = True  # pose graph lives in the stepwise loop
