@@ -32,7 +32,10 @@ BENCH_FLOW=1 adds PWC+MaskNet flow correspondences (weights from
 BENCH_FLOW_CKPT, default checkpoints/flow.npz), BENCH_LEPARD=1 adds
 matcher scene flow (BENCH_LEPARD_CKPT, default
 checkpoints/lepard_trained.npz); combine with BENCH_MOTION=1 for the
-full reference loop.
+full reference loop. BENCH_FLOW_DS=N runs PWC at 1/N resolution.
+Measured 2026-08-21 (slope+readback, one v5e): full loop at the
+reference envelope 7.33 fps (cap 256) / 5.69 (cap 512); BENCH_FLOW_DS=2
+measured 5.53 — PWC input resolution is not the bottleneck there.
 """
 
 import json
