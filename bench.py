@@ -192,6 +192,7 @@ def bench_fusion():
         lepard_max_target_points=int(
             os.environ.get("BENCH_LEPARD_TARGETS", "2048")
         ),
+        lepard_every=int(os.environ.get("BENCH_LEPARD_EVERY", "1")),
         flow_downscale=int(os.environ.get("BENCH_FLOW_DS", "1")),
     )
     seq = make_sequence(24, himg, wimg)

@@ -51,10 +51,14 @@ def anime_to_depth_sequence(
     scale: float = 1.0,
     splat_radius: int = 2,
     max_frames: int | None = None,
+    camera_poses=None,
 ):
     """Render an .anime clip to synthetic depth maps + GT trajectories.
 
     Places the animated mesh ``camera_offset`` in front of the camera.
+    ``camera_poses``: optional (Rs [F,3,3], ts [F,3]) world->camera per
+    frame (``synthetic_shapes.camera_path``) — a moving camera makes the
+    object leave the frustum and return, the keyframe pose-graph regime.
     Returns (depths [F, H, W], gt_vertices [F, nv, 3] in camera frame).
     """
     import jax.numpy as jnp
@@ -70,6 +74,8 @@ def anime_to_depth_sequence(
     depths, gt = [], []
     for f in range(n_frames):
         v = (frame_vertices(verts, offsets, f) - center) * scale + offset
+        if camera_poses is not None:
+            v = v @ camera_poses[0][f].T + camera_poses[1][f]
         depth, _ = render_depth(
             jnp.asarray(v), intrinsics, image_hw, splat_radius=splat_radius
         )
@@ -149,9 +155,11 @@ def anime_to_rgbd_sequence(
     splat_radius: int = 2,
     max_frames: int | None = None,
     vert_colors: np.ndarray | None = None,
+    camera_poses=None,
 ):
     """Textured variant of ``anime_to_depth_sequence``: renders color
     via the nearest-point composite (ops/rasterize.render_depth_color).
+    ``camera_poses`` as in ``anime_to_depth_sequence``.
     Returns (depths [F, H, W], colors [F, H, W, 3], gt [F, nv, 3])."""
     import jax.numpy as jnp
 
@@ -169,6 +177,8 @@ def anime_to_rgbd_sequence(
     depths, colors, gt = [], [], []
     for f in range(n_frames):
         v = (frame_vertices(verts, offsets, f) - center) * scale + offset
+        if camera_poses is not None:
+            v = v @ camera_poses[0][f].T + camera_poses[1][f]
         depth, color, _ = render_depth_color(
             jnp.asarray(v), cj, intrinsics, image_hw,
             splat_radius=splat_radius,

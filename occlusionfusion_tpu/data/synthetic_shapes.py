@@ -152,6 +152,59 @@ def shape_clip(shape, n_frames, n_verts, seed=0, rotate_deg=0.0,
 
 
 # ---------------------------------------------------------------------------
+# camera trajectories (world -> camera per frame)
+# ---------------------------------------------------------------------------
+
+
+def camera_path(kind, n_frames, amp=0.25, orbit_deg=25.0,
+                pivot=(0.0, 0.0, 1.5)):
+    """Per-frame world->camera rigid poses: p_cam = R[f] @ p + t[f].
+
+    The reference's clips keep a static camera; these paths create the
+    leave-and-revisit regime the keyframe pose graph exists for (the
+    model exits the frustum and returns — round-2 VERDICT item 4; no
+    reference counterpart, north-star subsystem).
+
+    Kinds:
+      * ``static``       — identity (the default everywhere else).
+      * ``truck_return`` — the camera trucks sideways by
+        ``amp * sin(2*pi*f/F)`` metres and comes back: the object
+        drifts off-frame (partially or fully, depending on amp) and
+        re-enters by the final frames.
+      * ``orbit_return`` — the camera yaws about ``pivot`` (the object
+        centre in camera coordinates) by ``orbit_deg * sin(2*pi*f/F)``
+        degrees and returns: viewpoint change + frustum exit at high
+        amplitude.
+
+    Returns (Rs [F,3,3] float32, ts [F,3] float32).
+    """
+    Rs = np.repeat(np.eye(3, dtype=np.float32)[None], n_frames, 0).copy()
+    ts = np.zeros((n_frames, 3), np.float32)
+    if kind in (None, "static"):
+        return Rs, ts
+    ph = np.sin(2.0 * np.pi * np.arange(n_frames) / max(n_frames - 1, 1))
+    if kind == "truck_return":
+        # camera moves +x; the world shifts -x in camera coordinates
+        ts[:, 0] = -amp * ph
+        return Rs, ts
+    if kind == "orbit_return":
+        piv = np.asarray(pivot, np.float32)
+        th = np.deg2rad(orbit_deg) * ph
+        for f in range(n_frames):
+            c, s = np.cos(th[f]), np.sin(th[f])
+            R = np.asarray(
+                [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32
+            )
+            Rs[f] = R
+            ts[f] = piv - R @ piv
+        return Rs, ts
+    raise ValueError(
+        f"camera_path kind must be static/truck_return/orbit_return, "
+        f"got {kind!r}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # numpy point-splat renderer (host twin of ops/rasterize.py)
 # ---------------------------------------------------------------------------
 

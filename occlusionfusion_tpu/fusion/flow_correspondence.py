@@ -77,9 +77,12 @@ def flow_correspondences(
         * flow_scale
     )[:Hd, :Wd]
     if ds > 1:
-        flow = (
-            jax.image.resize(flow, (H, W, 2), method="bilinear") * ds
-        )
+        # per-axis rescale: when H or W is not divisible by ds the
+        # truncated Hd=H//ds gives a resize ratio H/Hd != ds, so scale
+        # each flow component by its own true ratio
+        flow = jax.image.resize(
+            flow, (H, W, 2), method="bilinear"
+        ) * jnp.array([W / Wd, H / Hd], jnp.float32)
     v, u = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32),
         jnp.arange(W, dtype=jnp.float32),
@@ -135,6 +138,28 @@ def patchwise_max_weights(
     up = jnp.repeat(jnp.repeat(pooled, p, axis=0), p, axis=1)[:H, :W]
     selected = jnp.abs(weights - up) <= 1e-8
     return jnp.where(selected, weights, 0.0)
+
+
+def sample_weight_field(
+    weights: jnp.ndarray,  # [H, W] MaskNet correspondence weights
+    u: jnp.ndarray,  # [P] projected pixel x
+    v: jnp.ndarray,  # [P] projected pixel y
+    nms_active: bool,
+) -> jnp.ndarray:
+    """Sample the MaskNet weight field at projected point locations.
+
+    Bilinear for the continuous field; nearest-neighbor once the field
+    has been patchwise-NMS'd — bilinear sampling of an NMS'd field
+    attenuates the isolated survivors toward zero between them, making
+    any downstream threshold far stricter than the reference's
+    pixel-grid selection (``model/model.py:989-994``)."""
+    h, w = weights.shape
+    if nms_active:
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+        return weights[vi, ui]
+    uv = jnp.stack([u, v], -1)
+    return bilinear_sample(weights[..., None], uv)[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes",))

@@ -77,6 +77,9 @@ class FusionStepState(NamedTuple):
     # previous frame's RGB-XYZ image [6, H, W] — the optical-flow source
     # (None unless config.use_flow; the scan carries it frame to frame)
     prev_rgbxyz: jnp.ndarray = None
+    # frames processed since the tables were built (drives the Lepard
+    # cadence gate; None when lepard_every == 1)
+    frame_count: jnp.ndarray = None
 
 
 class FusedStepConfig(NamedTuple):
@@ -104,6 +107,13 @@ class FusedStepConfig(NamedTuple):
     use_lepard: bool = False
     lepard: tuple = None  # LepardConfig (static, hashable)
     lepard_max_target_points: int = 2048
+    # run the matcher only every K-th frame (lax.cond — TPU executes a
+    # real branch, so skipped frames pay none of the matcher's cost).
+    # The matcher's role is rescuing tangential/large-displacement drift
+    # (a slowly-accumulating error mode); projective + flow association
+    # track frame-to-frame. 1 = reference behavior (every frame,
+    # fusion.py:139).
+    lepard_every: int = 1
     # freeze graph components whose summed match weight falls below this
     # (reference gn_remove_clusters_with_few_matches /
     # gn_min_num_correspondences_per_cluster, model.py:1143-1221; their
@@ -192,6 +202,11 @@ def _fused_register_frame_impl(
     intr: Intrinsics,
     perception=None,
 ):
+    if config.flow_mode not in ("fill", "override"):
+        raise ValueError(
+            f"flow_mode must be 'fill' or 'override', got "
+            f"{config.flow_mode!r}"
+        )
     warp = W.WarpFieldState(
         node_positions=tables.nodes,
         node_valid=tables.node_valid,
@@ -265,7 +280,14 @@ def _fused_register_frame_impl(
         )[:, 0]
         ok = inb & (vsamp > 0.5) & (deformed_pts[:, 2] > 0)
         if mask_params is not None:
-            wsamp = bilinear_sample(flow_weights[..., None], uv)[:, 0]
+            from occlusionfusion_tpu.fusion.flow_correspondence import (
+                sample_weight_field,
+            )
+
+            wsamp = sample_weight_field(
+                flow_weights, u, v,
+                nms_active=bool(config.flow_mask_patch),
+            )
             ok = ok & (wsamp > config.flow_mask_threshold)
         if config.flow_mode == "fill":
             # rescue-only (see pipeline.FusionConfig.flow_mode): flow
@@ -288,17 +310,38 @@ def _fused_register_frame_impl(
     if config.use_lepard:
         from occlusionfusion_tpu.models.lepard import scene_flow
 
-        tgt_pcd, tgt_valid = _deterministic_target_subsample(
-            depth, intr, config.lepard_max_target_points
-        )
-        lflow, lmask, _ = scene_flow(
-            perception["lepard"],
-            config.lepard,
-            deformed_pts,
-            tables.model_valid & tables.point_valid,
-            tgt_pcd,
-            tgt_valid,
-        )
+        src_valid_l = tables.model_valid & tables.point_valid
+
+        def _run_lepard(operand):
+            dpts, dep = operand
+            tgt_pcd, tgt_valid = _deterministic_target_subsample(
+                dep, intr, config.lepard_max_target_points
+            )
+            lf, lm, _ = scene_flow(
+                perception["lepard"],
+                config.lepard,
+                dpts,
+                src_valid_l,
+                tgt_pcd,
+                tgt_valid,
+            )
+            return lf, lm
+
+        if config.lepard_every > 1 and state.frame_count is not None:
+            # cadence gate: a real TPU branch — skipped frames pay none
+            # of the matcher's pyramid/KPConv/transformer cost
+            run_now = (state.frame_count % config.lepard_every) == 0
+            lflow, lmask = jax.lax.cond(
+                run_now,
+                _run_lepard,
+                lambda op: (
+                    jnp.zeros_like(op[0]),
+                    jnp.zeros(op[0].shape[0], bool),
+                ),
+                (deformed_pts, depth),
+            )
+        else:
+            lflow, lmask = _run_lepard((deformed_pts, depth))
         targets = jnp.where(lmask[:, None], deformed_pts + lflow, targets)
         corr_valid = corr_valid | lmask
         corr_weight = jnp.maximum(corr_weight, lmask.astype(jnp.float32))
@@ -465,12 +508,22 @@ def _fused_register_frame_impl(
         if hasattr(result, "final_loss")
         else result.residual_history[-1]
     )
+    # valid-solve flag (the reference invalidates degenerate solves and
+    # reports the valid ratio, model/model.py:1611-1615): gn_dense
+    # carries an explicit all-iterations-finite flag; for nicp a finite
+    # final loss is the equivalent signal
+    solve_valid = (
+        result.valid
+        if hasattr(result, "valid")
+        else jnp.isfinite(final_loss)
+    )
     info = jnp.stack(
         [
             final_loss,
             jnp.sum(corr_valid).astype(jnp.float32),
             jnp.sum(node_visible).astype(jnp.float32),
             jnp.sum(motion_conf) / jnp.maximum(jnp.sum(tables.node_valid), 1),
+            solve_valid.astype(jnp.float32),
         ]
     )
     if config.use_flow:
@@ -487,6 +540,11 @@ def _fused_register_frame_impl(
         translations=result.translations,
         motion=motion_state,
         prev_rgbxyz=next_rgbxyz,
+        frame_count=(
+            state.frame_count + 1
+            if state.frame_count is not None
+            else None
+        ),
     )
     return new_state, info
 

@@ -90,6 +90,11 @@ class FusionConfig:
     # projective targets where the blend mask is confident
     use_lepard: bool = False
     lepard_max_target_points: int = 4096
+    # run the matcher every K-th frame in the fused engine (lax.cond
+    # branch — skipped frames pay none of its cost; the matcher corrects
+    # slowly-accumulating tangential drift, so sub-frame-rate cadence is
+    # an accuracy/speed knob; A/B with evaluate_dt4d --lepard_every)
+    lepard_every: int = 1
     # optional optical-flow source (PWC-Net; flow_params required):
     # flow-lifted per-pixel 3D targets override projective association for
     # model points whose flowed sample is valid (run_model.py:115-217)
@@ -144,6 +149,24 @@ class FusionConfig:
     # skip re-anchoring when the pose-graph correction is below this
     # (rotation angle rad + translation m)
     min_correction: float = 1e-4
+
+    def __post_init__(self):
+        # an unknown flow_mode would silently fall through to override
+        # semantics, which measurably doubles tracking error on
+        # articulated clips — fail loudly instead
+        if self.flow_mode not in ("fill", "override"):
+            raise ValueError(
+                f"flow_mode must be 'fill' or 'override', got "
+                f"{self.flow_mode!r}"
+            )
+        if self.lepard_every < 1:
+            raise ValueError(
+                f"lepard_every must be >= 1, got {self.lepard_every}"
+            )
+        if self.solver not in ("nicp", "gn_dense"):
+            raise ValueError(
+                f"solver must be 'nicp' or 'gn_dense', got {self.solver!r}"
+            )
 
 
 class DynamicFusion:
@@ -403,8 +426,17 @@ class DynamicFusion:
                 # MaskNet (model.py:969-994): the threshold decides
                 # whether a flow sample overrides projective association;
                 # the continuous prediction then weights the residual in
-                # the solve (weights, not a gate — model.py:1338)
-                wsamp = bilinear_sample(flow_weights[..., None], uv)[:, 0]
+                # the solve (weights, not a gate — model.py:1338).
+                # NMS'd fields are sampled nearest-neighbor (see
+                # sample_weight_field).
+                from occlusionfusion_tpu.fusion.flow_correspondence import (
+                    sample_weight_field,
+                )
+
+                wsamp = sample_weight_field(
+                    flow_weights, u, v,
+                    nms_active=bool(self.config.flow_mask_patch),
+                )
                 ok = ok & (wsamp > self.config.flow_mask_threshold)
             if self.config.flow_mode == "fill":
                 # flow RESCUES points with no valid projective target
@@ -426,8 +458,11 @@ class DynamicFusion:
         # optional learned scene flow (run_lepard.py:39-78 equivalent):
         # matcher flow replaces projective targets where confidently
         # blended — this is the component that recovers tangential motion
-        # projective association is blind to
-        if self.config.use_lepard:
+        # projective association is blind to. lepard_every > 1 runs it at
+        # reduced cadence (drift correction, not frame-to-frame tracking)
+        if self.config.use_lepard and (
+            frame.index % self.config.lepard_every == 0
+        ):
             from occlusionfusion_tpu.geometry.camera import backproject_depth
             from occlusionfusion_tpu.models.lepard import scene_flow
 
@@ -597,15 +632,21 @@ class DynamicFusion:
         )
         self.frame_id = frame.index
         self.prev_frame = frame
+        _floss = float(
+            result.final_loss
+            if hasattr(result, "final_loss")
+            else result.residual_history[-1]
+        )
         info = {
-            "final_loss": float(
-                result.final_loss
-                if hasattr(result, "final_loss")
-                else result.residual_history[-1]
-            ),
+            "final_loss": _floss,
             "n_correspondences": int(jnp.sum(corr_valid)),
             "n_visible_nodes": int(jnp.sum(node_visible)),
             "n_new_nodes": 0,
+            # reference valid-solve accounting (model.py:1611-1615)
+            "solve_valid": bool(
+                result.valid if hasattr(result, "valid")
+                else np.isfinite(_floss)
+            ),
         }
 
         # 7. optional graph growth onto newly observed surface
@@ -1083,6 +1124,9 @@ class DynamicFusion:
             translations=jnp.array(self.warp.translations, copy=True),
             motion=init_state(cap),
             prev_rgbxyz=prev_rgbxyz,
+            frame_count=(
+                jnp.int32(0) if cfg.lepard_every > 1 else None
+            ),
         )
         step_config = FusedStepConfig(
             tsdf=self.tsdf_config,
@@ -1101,6 +1145,7 @@ class DynamicFusion:
             use_lepard=use_lepard,
             lepard=self.lepard_config if use_lepard else None,
             lepard_max_target_points=cfg.lepard_max_target_points,
+            lepard_every=cfg.lepard_every,
             min_cluster_matches=cfg.min_cluster_matches,
         )
         return step_config, state, tables
@@ -1159,6 +1204,7 @@ class DynamicFusion:
                         "n_correspondences": int(out_np[j, 1]),
                         "n_visible_nodes": int(out_np[j, 2]),
                         "mean_confidence": float(out_np[j, 3]),
+                        "solve_valid": bool(out_np[j, 4] > 0.5),
                     }
                 )
             self.frame_id = chunk_ids[-1]

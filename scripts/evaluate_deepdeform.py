@@ -93,7 +93,7 @@ def main():
 
     gn = GNConfig(iters=args.gn_iters, w_arap=1.0, assembly="blocks")
     H, W, M = args.height, args.width, args.matches
-    epe2d, graph_mm, epe3d_mm = [], [], []
+    epe2d, graph_mm, epe3d_mm, valid_solves = [], [], [], []
     n = len(ds) if not args.max_samples else min(len(ds), args.max_samples)
     for idx in range(n):
         s = ds[idx]
@@ -172,6 +172,7 @@ def main():
             ),
         )
         result = solve_dense(problem, gn)
+        valid_solves.append(bool(result.valid))
 
         nv = np.asarray(node_valid)
         ge = np.linalg.norm(
@@ -189,10 +190,19 @@ def main():
         if we.size:
             epe3d_mm.append(float(we.mean() * 1000.0))
 
+    if not graph_mm or not epe3d_mm:
+        raise SystemExit(
+            f"no finite samples to aggregate (graph_mm n={len(graph_mm)}, "
+            f"epe3d_mm n={len(epe3d_mm)}) — empty split or max_samples=0?"
+        )
     metrics = {
         "samples": n,
         "graph_mm": round(float(np.mean(graph_mm)), 3),
         "epe3d_mm": round(float(np.mean(epe3d_mm)), 3),
+        # reference valid-solve ratio (model/evaluate.py valid accounting)
+        "valid_solve_ratio": round(
+            float(np.mean(valid_solves)), 4
+        ) if valid_solves else 0.0,
     }
     if epe2d:
         metrics["epe2d_px"] = round(float(np.mean(epe2d)), 3)

@@ -70,6 +70,18 @@ def main():
                     help="oscillating in-plane rotation amplitude (deg): "
                          "the object swings away and returns — the "
                          "revisit regime for keyframe loop closure")
+    ap.add_argument("--camera_path", default="static",
+                    choices=("static", "truck_return", "orbit_return"),
+                    help="camera trajectory (synthetic_shapes."
+                         "camera_path): truck_return/orbit_return make "
+                         "the object leave the frustum and come back — "
+                         "the pose-graph leave-and-revisit regime")
+    ap.add_argument("--camera_amp", type=float, default=0.25,
+                    help="truck_return amplitude in metres (0.25 pushes "
+                         "most of the default clip out of the 160px "
+                         "frustum at its apex)")
+    ap.add_argument("--camera_orbit_deg", type=float, default=25.0,
+                    help="orbit_return yaw amplitude in degrees")
     ap.add_argument("--textured", action="store_true",
                     help="render procedural per-vertex texture instead "
                          "of flat gray (needed for optical flow)")
@@ -80,6 +92,10 @@ def main():
     ap.add_argument("--flow_downscale", type=int, default=1,
                     help="run PWC+MaskNet at 1/N resolution (lift stays "
                          "full-res)")
+    ap.add_argument("--lepard_every", type=int, default=1,
+                    help="run the matcher every K-th frame (cadence "
+                         "accuracy A/B for the fused engine's "
+                         "lepard_every knob)")
     ap.add_argument("--lepard_weights", default=None,
                     help="trained matcher checkpoint; runs the stepwise "
                     "loop with learned scene flow (use_lepard)")
@@ -150,18 +166,31 @@ def main():
             ap.error("--gt is only meaningful with --trajectory")
         gt = np.load(args.gt)
         depths = None
-    elif textured:
-        from occlusionfusion_tpu.data.deformingthings4d import (
-            anime_to_rgbd_sequence,
-        )
-
-        depths, rendered_colors, gt = anime_to_rgbd_sequence(
-            path, intr, image_hw=(160, 160), max_frames=args.frames
-        )
     else:
-        depths, gt = anime_to_depth_sequence(
-            path, intr, image_hw=(160, 160), max_frames=args.frames
-        )
+        cam_poses = None
+        if args.camera_path != "static":
+            from occlusionfusion_tpu.data.synthetic_shapes import (
+                camera_path,
+            )
+
+            cam_poses = camera_path(
+                args.camera_path, args.frames, amp=args.camera_amp,
+                orbit_deg=args.camera_orbit_deg,
+            )
+        if textured:
+            from occlusionfusion_tpu.data.deformingthings4d import (
+                anime_to_rgbd_sequence,
+            )
+
+            depths, rendered_colors, gt = anime_to_rgbd_sequence(
+                path, intr, image_hw=(160, 160), max_frames=args.frames,
+                camera_poses=cam_poses,
+            )
+        else:
+            depths, gt = anime_to_depth_sequence(
+                path, intr, image_hw=(160, 160), max_frames=args.frames,
+                camera_poses=cam_poses,
+            )
 
     if args.trajectory:
         # score an exported keyframe trajectory artifact and exit
@@ -225,6 +254,7 @@ def main():
         use_motion_model=args.use_motion_model,
         solver=args.solver,
         use_lepard=lepard_params is not None,
+        lepard_every=args.lepard_every,
         use_flow=flow_params is not None,
         keyframe_interval=args.keyframe_interval,
         flow_downscale=args.flow_downscale,
@@ -260,15 +290,18 @@ def main():
     est_ids, est_R, est_t = [0], [np.eye(3, dtype=np.float32)], [
         np.zeros(3, np.float32)
     ]
+    n_valid_solves = 0
     for i in range(1, args.frames):
         if args.stepwise:
-            fusion.register_frame(seq.load(i))
+            finfo = fusion.register_frame(seq.load(i))
+            n_valid_solves += int(finfo.get("solve_valid", True))
             warp = fusion.warp
             translations = warp.translations
         else:
             state, info = fusion.register_frame_fused(
                 sc, state, tables, seq.load(i), motion_params
             )
+            n_valid_solves += int(float(info[4]) > 0.5)
             warp = W.WarpFieldState(
                 nodes_j, nvalid_j, state.rotations, state.translations
             )
@@ -309,6 +342,10 @@ def main():
         "frames": args.frames,
         "nodes": int(fusion.node_count),
         "seconds": round(elapsed, 1),
+        # reference valid-solve ratio (model/evaluate.py, model.py:1611)
+        "valid_solve_ratio": round(
+            n_valid_solves / max(args.frames - 1, 1), 4
+        ),
     }
     print(json.dumps(metrics))
     if args.out:

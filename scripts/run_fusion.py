@@ -194,9 +194,11 @@ def main():
         dt = time.perf_counter() - t0
         for info in infos:
             print(f"frame {info['frame']}: {info}")
+        n_valid = sum(1 for i in infos if i.get("solve_valid", True))
         print(
             f"{len(infos)} frames in {dt:.1f}s "
-            f"({len(infos) / max(dt, 1e-9):.2f} fps incl. compile)"
+            f"({len(infos) / max(dt, 1e-9):.2f} fps incl. compile); "
+            f"valid solves {n_valid}/{len(infos)}"
         )
         np.save(
             os.path.join(args.results, "deformed_nodes_final.npy"),

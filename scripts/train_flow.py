@@ -141,7 +141,8 @@ def make_batch_rendered(rng, batch, H, W, with_mask, shapes, n_verts,
     )
 
 
-def make_batch_deepdeform(ds, rng, batch, H, W, with_mask, depth_tol=0.02):
+def make_batch_deepdeform(ds, rng, batch, H, W, with_mask, depth_tol=0.02,
+                          index_pool=None):
     """Batches from a DeepDeform-layout dataset (real DeepDeform or a
     scripts/export_deepdeform.py synthetic export). Streams samples by
     random index (no preload — real splits are ~100k pairs); flow GT
@@ -161,7 +162,10 @@ def make_batch_deepdeform(ds, rng, batch, H, W, with_mask, depth_tol=0.02):
 
     im1s, im2s, flows, valids, s6, t6, mgt = [], [], [], [], [], [], []
     for _ in range(batch):
-        s = ds[int(rng.randint(len(ds)))]
+        if index_pool is not None:
+            s = ds[int(index_pool[rng.randint(len(index_pool))])]
+        else:
+            s = ds[int(rng.randint(len(ds)))]
         src, tgt = s["source"], s["target"]  # [6, H, W]
         flow = s["optical_flow"].transpose(1, 2, 0)
         valid = np.isfinite(flow).all(-1) & (src[5] > 0)
@@ -458,10 +462,25 @@ def main():
         )
         print(f"deepdeform: {len(ds)} pairs from {args.deepdeform}")
 
-    def next_batch(r):
+    # deepdeform: reserve a fixed index subset for held-out eval so the
+    # logged held-out EPE can never include trained pairs (for
+    # rendered/noise data, clip parameters are continuous random draws —
+    # heldout-vs-train collision probability is negligible but only
+    # probabilistic; seeds 77_000+ are reserved for eval)
+    train_pool = heldout_pool = None
+    if ds is not None:
+        n_held = max(args.batch, min(len(ds) // 10, 256))
+        heldout_pool = np.arange(len(ds) - n_held, len(ds))
+        train_pool = np.arange(len(ds) - n_held)
+        if len(train_pool) == 0:
+            train_pool = heldout_pool  # degenerate tiny split
+        print(f"deepdeform heldout: {len(heldout_pool)} reserved pairs")
+
+    def next_batch(r, pool=None):
         if args.data == "deepdeform":
             return make_batch_deepdeform(
-                ds, r, args.batch, args.height, args.width, args.with_mask
+                ds, r, args.batch, args.height, args.width, args.with_mask,
+                index_pool=train_pool if pool is None else pool,
             )
         if args.data == "rendered":
             return make_batch_rendered(
@@ -471,8 +490,11 @@ def main():
         return make_batch(r, args.batch, args.height, args.width,
                           args.with_mask, augment_rot=args.augment_rot)
 
-    # held-out eval pairs (fixed seed disjoint from the training stream)
-    heldout = next_batch(np.random.RandomState(77_000 + args.seed))
+    # held-out eval pairs (reserved index pool for deepdeform; reserved
+    # seed range for generated data)
+    heldout = next_batch(
+        np.random.RandomState(77_000 + args.seed), pool=heldout_pool
+    )
 
     t0 = time.time()
     for i in range(args.steps):

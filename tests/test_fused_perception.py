@@ -216,3 +216,60 @@ class TestPatchwiseMaxWeights:
         nz = out > 0
         np.testing.assert_allclose(out[nz], np.asarray(w)[nz])
         assert 0 < nz.sum() <= 4 * 3 + 4  # at most one per (padded) patch
+
+    def test_nms_field_sampled_nearest_not_attenuated(self):
+        """The combined patch+threshold+sampling path: after NMS the
+        weight field is sampled nearest-neighbor, so a point projecting
+        within half a pixel of a survivor reads the survivor's full
+        weight. Bilinear sampling of the same NMS'd field attenuates it
+        (the bug ADVICE r2 flagged: the threshold became effectively
+        stricter than model.py:989-994's pixel-grid selection)."""
+        import jax.numpy as jnp
+
+        from occlusionfusion_tpu.fusion.flow_correspondence import (
+            patchwise_max_weights,
+            sample_weight_field,
+        )
+        from occlusionfusion_tpu.geometry.camera import bilinear_sample
+
+        rng = np.random.RandomState(2)
+        w = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+        nms = patchwise_max_weights(w, 4)
+        sv, su = np.unravel_index(
+            np.argmax(np.asarray(nms)[:4, :4]), (4, 4)
+        )
+        # sample 0.4 px off the survivor (clipped inside the image)
+        u = jnp.asarray([su + 0.4], jnp.float32)
+        v = jnp.asarray([sv + 0.4], jnp.float32)
+        near = float(sample_weight_field(nms, u, v, nms_active=True)[0])
+        assert near == float(np.asarray(nms)[sv, su])
+        # the old behavior (bilinear on the NMS'd field) attenuates —
+        # its neighbors in the 2x2 footprint are zeroed by NMS
+        bil = float(
+            bilinear_sample(nms[..., None], jnp.stack([u, v], -1))[0, 0]
+        )
+        assert bil < 0.5 * near
+        # continuous (non-NMS) fields still sample bilinearly
+        cont = float(sample_weight_field(w, u, v, nms_active=False)[0])
+        ref = float(
+            bilinear_sample(w[..., None], jnp.stack([u, v], -1))[0, 0]
+        )
+        assert cont == ref
+
+    def test_fused_step_flow_patch_path_runs(self):
+        """End-to-end: the fused engine with MaskNet + flow_mask_patch
+        compiles and steps (covers the nms_active branch in-dispatch)."""
+        seq = make_seq(n=3)
+        rng = jax.random.PRNGKey(0)
+        flow_params = init_pwcnet_params(rng)
+        mask_params = init_masknet_params(jax.random.PRNGKey(1))
+        fusion = DynamicFusion(
+            seq,
+            config(use_flow=True, flow_mask_patch=4,
+                   flow_mask_threshold=0.0),
+            flow_params=flow_params,
+            mask_params=mask_params,
+        )
+        infos = fusion.run_fused(chunk=2)
+        assert len(infos) == 2
+        assert all(np.isfinite(i["final_loss"]) for i in infos)

@@ -86,9 +86,10 @@ class TestFusedStep:
             step_config, state, tables, seq.load(1)
         )
         info = np.asarray(info)
-        assert info.shape == (4,)
+        assert info.shape == (5,)
         assert info[1] > 100  # correspondences found
         assert np.isfinite(info).all()
+        assert info[4] == 1.0  # solve valid (model.py:1611-1615 parity)
 
 
 class TestMotionAtNonDefaultCap:
