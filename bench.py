@@ -194,6 +194,7 @@ def bench_fusion():
         ),
         lepard_every=int(os.environ.get("BENCH_LEPARD_EVERY", "1")),
         flow_downscale=int(os.environ.get("BENCH_FLOW_DS", "1")),
+        flow_lift=os.environ.get("BENCH_FLOW_LIFT", "dense"),
     )
     seq = make_sequence(24, himg, wimg)
     motion_params = None

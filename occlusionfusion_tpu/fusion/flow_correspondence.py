@@ -140,6 +140,88 @@ def patchwise_max_weights(
     return jnp.where(selected, weights, 0.0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("flow_scale", "downscale")
+)
+def flow_targets_at_points(
+    pwc_params,
+    source_rgbxyz: jnp.ndarray,  # [6, H, W]
+    target_rgbxyz: jnp.ndarray,  # [6, H, W]
+    uv: jnp.ndarray,  # [P, 2] full-res query pixels (model projections)
+    flow_scale: float = 20.0,
+    mask_params=None,
+    downscale: int = 1,
+):
+    """Sparse lift: flow-derived 3-D targets at ``uv`` only.
+
+    The fused engine consumes flow correspondences at the model points'
+    projections (``fused_step.py`` 2b), not on the pixel grid — the
+    dense lift materializes [H,W] target/valid fields (H*W*4-corner
+    gathers of the target point image) only for them to be re-sampled
+    at P << H*W locations. Here the quarter-res PWC flow is sampled
+    directly at uv/4 and only P target lookups happen. First-order
+    identical to sampling the dense lift (flow is smooth where the
+    mask gate passes; discontinuities are gated by valid/MaskNet).
+
+    Returns (targets [P, 3], valid [P], weights [P]).
+    """
+    H, W = source_rgbxyz.shape[1:]
+    ds = int(downscale)
+    Hd, Wd = H // ds, W // ds
+    if ds > 1:
+        src_d = jax.image.resize(
+            source_rgbxyz, (6, Hd, Wd), method="bilinear"
+        )
+        tgt_d = jax.image.resize(
+            target_rgbxyz, (6, Hd, Wd), method="bilinear"
+        )
+    else:
+        src_d, tgt_d = source_rgbxyz, target_rgbxyz
+    Hp = -(-Hd // 64) * 64
+    Wp = -(-Wd // 64) * 64
+    src_p = jnp.pad(src_d, ((0, 0), (0, Hp - Hd), (0, Wp - Wd)))
+    tgt_p = jnp.pad(tgt_d, ((0, 0), (0, Hp - Hd), (0, Wp - Wd)))
+    im1 = src_p[None, :3].transpose(0, 2, 3, 1)
+    im2 = tgt_p[None, :3].transpose(0, 2, 3, 1)
+    flow_q, feat = pwcnet_forward(pwc_params, im1, im2)  # [1, Hp/4, Wp/4, 2]
+    # full-res pixel (u,v) -> quarter-res (downscaled) grid coordinate.
+    # jax.image.resize uses half-pixel centers: out[i] samples
+    # in[(i+0.5)*scale-0.5]; composing the x4 upsample and the ds
+    # downsample gives q = ((uv/ds) + 0.5)/4 - 0.5 for the quarter grid
+    uv_d = uv / ds if ds > 1 else uv
+    q = (uv_d + 0.5) / 4.0 - 0.5
+    # x flow_scale yields (downscaled-)full-res pixel units — the x4
+    # spatial upsample is folded into the reference's x20 convention
+    # (model.py:898-930), exactly as the dense path's resize+scale
+    fq = bilinear_sample(flow_q[0], q) * flow_scale
+    # per-axis ratio to true full-res pixels (handles H % ds != 0)
+    fx = fq[:, 0] * (W / Wd if ds > 1 else 1.0)
+    fy = fq[:, 1] * (H / Hd if ds > 1 else 1.0)
+    uv2 = jnp.stack([uv[:, 0] + fx, uv[:, 1] + fy], -1)
+    target_xyz = target_rgbxyz[3:].transpose(1, 2, 0)
+    targets = bilinear_sample(target_xyz, uv2)
+    inb = (
+        (uv2[:, 0] >= 0) & (uv2[:, 0] <= W - 1)
+        & (uv2[:, 1] >= 0) & (uv2[:, 1] <= H - 1)
+    )
+    src_depth = source_rgbxyz[5]
+    sdep = bilinear_sample(src_depth[..., None], uv)[:, 0]
+    valid = inb & (sdep > 0) & (targets[:, 2] > 0)
+    if mask_params is not None:
+        weights_map = masknet_forward(
+            mask_params,
+            feat,
+            src_p[None].transpose(0, 2, 3, 1),
+            tgt_p[None].transpose(0, 2, 3, 1),
+        )[0, :, :, 0]
+        # sample the (padded, downscaled) weight map at uv_d directly
+        w = bilinear_sample(weights_map[..., None], uv_d)[:, 0]
+        weights = jnp.where(valid, w, 0.0)
+    else:
+        weights = valid.astype(jnp.float32)
+    return targets, valid, weights
+
+
 def sample_weight_field(
     weights: jnp.ndarray,  # [H, W] MaskNet correspondence weights
     u: jnp.ndarray,  # [P] projected pixel x

@@ -102,6 +102,13 @@ class FusedStepConfig(NamedTuple):
     flow_mode: str = "fill"
     # PWC+MaskNet resolution divisor (pipeline.FusionConfig.flow_downscale)
     flow_downscale: int = 1
+    # "dense" materializes the [H,W] lifted-target fields then samples
+    # them at the model projections (object-path semantics); "sparse"
+    # lifts flow only at the P model projections (first-order identical,
+    # skips H*W-scale gathers of the target point image — the envelope
+    # image is 287k pixels vs 8k points). flow_mask_patch forces dense
+    # (NMS needs the grid).
+    flow_lift: str = "dense"
     # Lepard-style matcher scene flow on a device-side deterministic
     # subsample of the target depth cloud
     use_lepard: bool = False
@@ -255,40 +262,57 @@ def _fused_register_frame_impl(
         mask_params = (
             perception.get("mask") if perception is not None else None
         )
-        _, flow_targets, flow_valid, flow_weights = flow_correspondences(
-            perception["flow"], state.prev_rgbxyz, cur_rgbxyz,
-            mask_params=mask_params,
-            downscale=config.flow_downscale,
-        )
-        if mask_params is not None and config.flow_mask_patch:
-            from occlusionfusion_tpu.fusion.flow_correspondence import (
-                patchwise_max_weights,
-            )
-
-            flow_weights = patchwise_max_weights(
-                flow_weights, config.flow_mask_patch
-            )
         z = jnp.maximum(deformed_pts[:, 2], 1e-6)
         u = deformed_pts[:, 0] / z * intr.fx + intr.cx
         v = deformed_pts[:, 1] / z * intr.fy + intr.cy
         h_im, w_im = depth.shape
         inb = (u >= 0) & (u <= w_im - 1) & (v >= 0) & (v <= h_im - 1)
         uv = jnp.stack([u, v], -1)
-        sampled = bilinear_sample(flow_targets, uv)
-        vsamp = bilinear_sample(
-            flow_valid[..., None].astype(jnp.float32), uv
-        )[:, 0]
-        ok = inb & (vsamp > 0.5) & (deformed_pts[:, 2] > 0)
-        if mask_params is not None:
+        use_sparse_lift = (
+            config.flow_lift == "sparse" and not config.flow_mask_patch
+        )
+        if use_sparse_lift:
             from occlusionfusion_tpu.fusion.flow_correspondence import (
-                sample_weight_field,
+                flow_targets_at_points,
             )
 
-            wsamp = sample_weight_field(
-                flow_weights, u, v,
-                nms_active=bool(config.flow_mask_patch),
+            sampled, pvalid, wsamp = flow_targets_at_points(
+                perception["flow"], state.prev_rgbxyz, cur_rgbxyz, uv,
+                mask_params=mask_params,
+                downscale=config.flow_downscale,
             )
-            ok = ok & (wsamp > config.flow_mask_threshold)
+            ok = inb & pvalid & (deformed_pts[:, 2] > 0)
+            if mask_params is not None:
+                ok = ok & (wsamp > config.flow_mask_threshold)
+        else:
+            _, flow_targets, flow_valid, flow_weights = flow_correspondences(
+                perception["flow"], state.prev_rgbxyz, cur_rgbxyz,
+                mask_params=mask_params,
+                downscale=config.flow_downscale,
+            )
+            if mask_params is not None and config.flow_mask_patch:
+                from occlusionfusion_tpu.fusion.flow_correspondence import (
+                    patchwise_max_weights,
+                )
+
+                flow_weights = patchwise_max_weights(
+                    flow_weights, config.flow_mask_patch
+                )
+            sampled = bilinear_sample(flow_targets, uv)
+            vsamp = bilinear_sample(
+                flow_valid[..., None].astype(jnp.float32), uv
+            )[:, 0]
+            ok = inb & (vsamp > 0.5) & (deformed_pts[:, 2] > 0)
+            if mask_params is not None:
+                from occlusionfusion_tpu.fusion.flow_correspondence import (
+                    sample_weight_field,
+                )
+
+                wsamp = sample_weight_field(
+                    flow_weights, u, v,
+                    nms_active=bool(config.flow_mask_patch),
+                )
+                ok = ok & (wsamp > config.flow_mask_threshold)
         if config.flow_mode == "fill":
             # rescue-only (see pipeline.FusionConfig.flow_mode): flow
             # fills points without a valid projective target instead of

@@ -120,6 +120,10 @@ class FusionConfig:
     # perception hot loop; 2 quarters its cost for ~proportional px
     # error (which the fill semantics tolerate)
     flow_downscale: int = 1
+    # fused-path flow lift: "dense" (materialize [H,W] lifted fields,
+    # object-path semantics) or "sparse" (lift only at the model
+    # projections — skips image-scale gathers; see fused_step)
+    flow_lift: str = "dense"
     # keyframe pose graph for long-sequence drift correction (north-star
     # subsystem, no reference counterpart): record a keyframe every N
     # frames (0 = off); loop closures re-register the current model
@@ -158,6 +162,11 @@ class FusionConfig:
             raise ValueError(
                 f"flow_mode must be 'fill' or 'override', got "
                 f"{self.flow_mode!r}"
+            )
+        if self.flow_lift not in ("dense", "sparse"):
+            raise ValueError(
+                f"flow_lift must be 'dense' or 'sparse', got "
+                f"{self.flow_lift!r}"
             )
         if self.lepard_every < 1:
             raise ValueError(
@@ -1142,6 +1151,7 @@ class DynamicFusion:
             flow_mask_patch=cfg.flow_mask_patch,
             flow_mode=cfg.flow_mode,
             flow_downscale=cfg.flow_downscale,
+            flow_lift=cfg.flow_lift,
             use_lepard=use_lepard,
             lepard=self.lepard_config if use_lepard else None,
             lepard_max_target_points=cfg.lepard_max_target_points,

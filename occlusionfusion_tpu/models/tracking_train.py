@@ -235,6 +235,7 @@ def synthetic_tracking_sample(
     n_matches: int = 512,
     warp_cm: float = 0.03,
     occlusion: bool = True,
+    corrupt_flow: bool = False,
 ) -> TrackingSample:
     """Textured smooth surface under a smooth 3D displacement field.
 
@@ -292,6 +293,28 @@ def synthetic_tracking_sample(
         # the occluder (approximate with the source-grid box: flows are
         # a few px)
         mask_gt &= ~occluded
+        if corrupt_flow:
+            # the real-data supervision regime (model/dataset.py flow GT
+            # is reconstruction-derived): at occlusion boundaries and
+            # depth holes the stored flow is WRONG yet still marked
+            # valid. Replace GT flow with a smooth wrong field there
+            # (plus random depth-hole blobs) while flow_valid stays
+            # True — direct supervision learns these bad labels; the
+            # solver's graph/warp losses and the mask GT see through
+            # them (round-2 VERDICT item 6).
+            holes = np.zeros((H, W), bool)
+            for _ in range(rng.randint(1, 4)):
+                hh0 = rng.randint(0, H - 4)
+                ww0 = rng.randint(0, W - 4)
+                holes[hh0 : hh0 + rng.randint(2, H // 6),
+                      ww0 : ww0 + rng.randint(2, W // 6)] = True
+            bad = occluded | holes
+            wrong = flow_gt + _smooth_field(
+                rng, H, W, 2, 3.0, cells=4
+            ).astype(np.float32)
+            flow_gt = np.where(bad[..., None], wrong, flow_gt)
+            # depth holes also invalidate mask GT (target surface absent)
+            mask_gt &= ~holes
     xyz2 = np.stack(
         [(u - cx) / fx * z2, (v - cy) / fy * z2, z2], axis=-1
     ).astype(np.float32)

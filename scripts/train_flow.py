@@ -324,6 +324,14 @@ def main():
                          "regime: flow supervision is sparse/incomplete"
                          " — the solver's graph/warp losses supervise "
                          "through ALL matches regardless)")
+    ap.add_argument("--corrupt_flow", action="store_true",
+                    help="real-data supervision regime for "
+                         "--through_solver: flow GT is WRONG (but "
+                         "marked valid) at occlusion boundaries and "
+                         "depth holes, as reconstruction-derived flow "
+                         "GT is — the A/B where backprop through the "
+                         "solver should WIN, not tie (heldout eval "
+                         "stays clean)")
     ap.add_argument("--no_solver_terms", action="store_true",
                     help="A/B ablation: same data/model/eval as "
                          "--through_solver but zero the graph/warp loss "
@@ -392,6 +400,7 @@ def main():
                 s = synthetic_tracking_sample(
                     r, H=args.height, W=args.width,
                     n_nodes=args.nodes, n_matches=args.matches,
+                    corrupt_flow=args.corrupt_flow and sparse,
                 )
                 if sparse and args.sparse_flow_frac < 1.0:
                     import jax.numpy as jnp

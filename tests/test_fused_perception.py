@@ -177,6 +177,50 @@ class TestRunFusedDriver:
         assert all(np.isfinite(i["final_loss"]) for i in infos)
 
 
+class TestCameraPath:
+    def test_truck_return_leaves_and_returns(self):
+        from occlusionfusion_tpu.data.synthetic_shapes import camera_path
+
+        Rs, ts = camera_path("truck_return", 9, amp=0.3)
+        np.testing.assert_allclose(Rs, np.eye(3)[None].repeat(9, 0))
+        # starts and ends home, peaks at the quarter point
+        assert abs(ts[0, 0]) < 1e-6 and abs(ts[-1, 0]) < 1e-6
+        assert np.abs(ts[:, 0]).max() > 0.29
+
+    def test_orbit_return_rotates_about_pivot(self):
+        from occlusionfusion_tpu.data.synthetic_shapes import camera_path
+
+        piv = np.asarray([0.0, 0.0, 1.5], np.float32)
+        Rs, ts = camera_path("orbit_return", 9, orbit_deg=20.0, pivot=piv)
+        for R, t in zip(Rs, ts):
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+            # the pivot is a fixed point of every pose
+            np.testing.assert_allclose(R @ piv + t, piv, atol=1e-5)
+        # mid-clip yaw is nonzero
+        assert abs(np.arccos(np.clip(Rs[2][0, 0], -1, 1))) > 0.05
+
+    def test_unknown_kind_raises(self):
+        from occlusionfusion_tpu.data.synthetic_shapes import camera_path
+
+        with pytest.raises(ValueError):
+            camera_path("spiral", 4)
+
+
+class TestLepardCadence:
+    def test_lepard_every_runs_and_counts_frames(self):
+        seq = make_seq(n=5)
+        lp, lc = tiny_lepard()
+        fusion = DynamicFusion(
+            seq, config(use_lepard=True, lepard_every=2,
+                        lepard_max_target_points=256),
+            lepard_params=lp, lepard_config=lc,
+        )
+        infos = fusion.run_fused(chunk=2)
+        assert len(infos) == 4
+        assert all(np.isfinite(i["final_loss"]) for i in infos)
+        assert all(i["solve_valid"] for i in infos)
+
+
 class TestPatchwiseMaxWeights:
     """Eval-time patchwise-max mask thresholding (model.py:987-993)."""
 
@@ -255,6 +299,32 @@ class TestPatchwiseMaxWeights:
             bilinear_sample(w[..., None], jnp.stack([u, v], -1))[0, 0]
         )
         assert cont == ref
+
+    def test_sparse_lift_matches_dense(self):
+        """flow_lift="sparse" lifts flow at the model projections only;
+        it must agree with the dense-field path to first order on a
+        smooth scene (identical gating; targets within a few mm)."""
+        seq = make_seq(n=3)
+        rng = jax.random.PRNGKey(0)
+        flow_params = init_pwcnet_params(rng)
+        outs = {}
+        for lift in ("dense", "sparse"):
+            fusion = DynamicFusion(
+                seq, config(use_flow=True, flow_lift=lift),
+                flow_params=flow_params,
+            )
+            infos = fusion.run_fused(chunk=2)
+            outs[lift] = (
+                np.asarray(fusion.warp.translations),
+                [i["n_correspondences"] for i in infos],
+            )
+        td, ts = outs["dense"][0], outs["sparse"][0]
+        # same engine semantics: node translations agree to mm scale
+        assert np.abs(td - ts).max() < 5e-3
+        # correspondence counts in the same ballpark (gates agree on
+        # the smooth interior; boundary pixels may differ)
+        for nd, ns in zip(outs["dense"][1], outs["sparse"][1]):
+            assert abs(nd - ns) <= max(0.1 * nd, 32)
 
     def test_fused_step_flow_patch_path_runs(self):
         """End-to-end: the fused engine with MaskNet + flow_mask_patch
