@@ -76,6 +76,16 @@ def main():
     ap.add_argument("--lepard_weights", default=None,
                     help="matcher checkpoint (train_lepard.py output); "
                          "enables learned scene flow in the loop")
+    ap.add_argument("--lepard_every", type=int, default=1,
+                    help="run the matcher every K-th frame (lax.cond "
+                         "cadence in the fused engine)")
+    ap.add_argument("--flow_lift", default="dense",
+                    choices=("dense", "sparse"),
+                    help="flow lift: dense [H,W] fields or sparse "
+                         "at the model projections (fused engine)")
+    ap.add_argument("--flow_mode", default="fill",
+                    choices=("fill", "override"))
+    ap.add_argument("--flow_downscale", type=int, default=1)
     ap.add_argument("--flow_weights", default=None,
                     help="PWC-Net(+MaskNet) checkpoint (train_flow.py "
                          "output); enables the optical-flow "
@@ -165,7 +175,11 @@ def main():
         keyframe_interval=args.keyframe_interval,
         loop_radius=args.loop_radius,
         use_lepard=lepard_params is not None,
+        lepard_every=args.lepard_every,
         use_flow=flow_params is not None,
+        flow_lift=args.flow_lift,
+        flow_mode=args.flow_mode,
+        flow_downscale=args.flow_downscale,
         brick_size=args.brick_size,
         max_bricks=args.max_bricks,
         min_cluster_matches=args.min_cluster_matches,
