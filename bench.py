@@ -160,6 +160,8 @@ def bench_fusion():
                 "BENCH_LEPARD_CKPT", "checkpoints/lepard_trained.npz"
             )
         )
+        if os.environ.get("BENCH_LEPARD_BATCHED") == "1":
+            lepard_config = lepard_config._replace(batched_encode=True)
     flow_params = mask_params = None
     if os.environ.get("BENCH_FLOW") == "1":
         from occlusionfusion_tpu.utils.snapshot import load_params
@@ -193,8 +195,11 @@ def bench_fusion():
             os.environ.get("BENCH_LEPARD_TARGETS", "2048")
         ),
         lepard_every=int(os.environ.get("BENCH_LEPARD_EVERY", "1")),
+        lepard_subsample=os.environ.get("BENCH_LEPARD_SUBSAMPLE", "topk"),
         flow_downscale=int(os.environ.get("BENCH_FLOW_DS", "1")),
         flow_lift=os.environ.get("BENCH_FLOW_LIFT", "dense"),
+        flow_bf16=os.environ.get("BENCH_FLOW_BF16") == "1",
+        mask_downscale=int(os.environ.get("BENCH_MASK_DS", "1")),
     )
     seq = make_sequence(24, himg, wimg)
     motion_params = None

@@ -141,7 +141,8 @@ def patchwise_max_weights(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("flow_scale", "downscale")
+    jax.jit,
+    static_argnames=("flow_scale", "downscale", "bf16", "mask_downscale"),
 )
 def flow_targets_at_points(
     pwc_params,
@@ -151,6 +152,8 @@ def flow_targets_at_points(
     flow_scale: float = 20.0,
     mask_params=None,
     downscale: int = 1,
+    bf16: bool = False,
+    mask_downscale: int = 1,
 ):
     """Sparse lift: flow-derived 3-D targets at ``uv`` only.
 
@@ -183,7 +186,23 @@ def flow_targets_at_points(
     tgt_p = jnp.pad(tgt_d, ((0, 0), (0, Hp - Hd), (0, Wp - Wd)))
     im1 = src_p[None, :3].transpose(0, 2, 3, 1)
     im2 = tgt_p[None, :3].transpose(0, 2, 3, 1)
+    if bf16:
+        # perception nets in bfloat16: the MXU's native dtype (2x+ the
+        # f32 conv throughput, half the HBM traffic). The output flow is
+        # a smooth regressed field consumed through MaskNet/depth gates;
+        # bf16's ~3 decimal digits cost <0.1 px at the working
+        # magnitudes (A/B: evaluate_dt4d --flow_bf16 vs without).
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+        )
+        pwc_params = cast(pwc_params)
+        mask_params = cast(mask_params) if mask_params is not None else None
+        im1, im2 = im1.astype(jnp.bfloat16), im2.astype(jnp.bfloat16)
+        src_p = src_p.astype(jnp.bfloat16)
+        tgt_p = tgt_p.astype(jnp.bfloat16)
     flow_q, feat = pwcnet_forward(pwc_params, im1, im2)  # [1, Hp/4, Wp/4, 2]
+    flow_q = flow_q.astype(jnp.float32)
     # full-res pixel (u,v) -> quarter-res (downscaled) grid coordinate.
     # jax.image.resize uses half-pixel centers: out[i] samples
     # in[(i+0.5)*scale-0.5]; composing the x4 upsample and the ds
@@ -208,14 +227,32 @@ def flow_targets_at_points(
     sdep = bilinear_sample(src_depth[..., None], uv)[:, 0]
     valid = inb & (sdep > 0) & (targets[:, 2] > 0)
     if mask_params is not None:
-        weights_map = masknet_forward(
-            mask_params,
-            feat,
-            src_p[None].transpose(0, 2, 3, 1),
-            tgt_p[None].transpose(0, 2, 3, 1),
-        )[0, :, :, 0]
+        s6 = src_p[None].transpose(0, 2, 3, 1)
+        t6 = tgt_p[None].transpose(0, 2, 3, 1)
+        mfeat = feat
+        mds = int(mask_downscale)
+        if mds > 1:
+            # MaskNet at 1/mds resolution: the weight field is a smooth
+            # confidence gate — its convs (which run at FULL padded res
+            # in the reference, model.py:23-56) cost /mds^2 while the
+            # per-point sample below interpolates the same smooth field
+            s6 = jax.image.resize(
+                s6, (1, Hp // mds, Wp // mds, 6), method="bilinear"
+            )
+            t6 = jax.image.resize(
+                t6, (1, Hp // mds, Wp // mds, 6), method="bilinear"
+            )
+            fH, fW = feat.shape[1], feat.shape[2]
+            mfeat = jax.image.resize(
+                feat, (1, fH // mds, fW // mds, feat.shape[3]),
+                method="bilinear",
+            )
+        weights_map = masknet_forward(mask_params, mfeat, s6, t6)[
+            0, :, :, 0
+        ].astype(jnp.float32)
         # sample the (padded, downscaled) weight map at uv_d directly
-        w = bilinear_sample(weights_map[..., None], uv_d)[:, 0]
+        scale_uv = uv_d / mds if mds > 1 else uv_d
+        w = bilinear_sample(weights_map[..., None], scale_uv)[:, 0]
         weights = jnp.where(valid, w, 0.0)
     else:
         weights = valid.astype(jnp.float32)

@@ -102,6 +102,10 @@ class FusedStepConfig(NamedTuple):
     flow_mode: str = "fill"
     # PWC+MaskNet resolution divisor (pipeline.FusionConfig.flow_downscale)
     flow_downscale: int = 1
+    # perception precision/resolution knobs (sparse lift only):
+    # bfloat16 conv stacks and a 1/N-resolution MaskNet
+    flow_bf16: bool = False
+    mask_downscale: int = 1
     # "dense" materializes the [H,W] lifted-target fields then samples
     # them at the model projections (object-path semantics); "sparse"
     # lifts flow only at the P model projections (first-order identical,
@@ -121,6 +125,10 @@ class FusedStepConfig(NamedTuple):
     # track frame-to-frame. 1 = reference behavior (every frame,
     # fusion.py:139).
     lepard_every: int = 1
+    # target-subsample selection: "topk" (hash-uniform, one H*W sort) or
+    # "strided" (block-stratified argmax, sort-free — see
+    # _deterministic_target_subsample)
+    lepard_subsample: str = "topk"
     # freeze graph components whose summed match weight falls below this
     # (reference gn_remove_clusters_with_few_matches /
     # gn_min_num_correspondences_per_cluster, model.py:1143-1221; their
@@ -161,19 +169,39 @@ def _rgbxyz_image(depth, color, intr):
     return jnp.concatenate([rgb, xyz.transpose(2, 0, 1)], 0)
 
 
-def _deterministic_target_subsample(depth, intr, cap: int):
+def _deterministic_target_subsample(depth, intr, cap: int,
+                                    method: str = "topk"):
     """Static-cap subsample of the target depth cloud, on device.
 
     Replaces the host-side np.random sampling of the object path
-    (pipeline.py round-1 item): each valid pixel gets a Knuth-hash key
-    of its index and the top ``cap`` keys win — deterministic, uniform
-    over valid pixels, one top_k. Returns (points [cap, 3], valid)."""
+    (pipeline.py round-1 item). Two deterministic selections:
+
+    * ``topk`` — each valid pixel gets a Knuth-hash key of its index and
+      the top ``cap`` keys win (uniform over valid pixels; one top_k
+      over H*W — at the 448x640 envelope that is a 287k-element sort on
+      TPU, the dominant cost of the whole matcher stage).
+    * ``strided`` — the image is split into ``cap`` contiguous flat
+      blocks and each block contributes its best-hash valid pixel (one
+      [cap, H*W/cap] argmax, no sort): spatially stratified over the
+      frame, which is at least as good a coverage property for matching
+      as hash-uniform, at ~zero cost.
+
+    Returns (points [cap, 3], valid)."""
     from occlusionfusion_tpu.geometry.camera import backproject_depth
 
     pts = backproject_depth(depth, intr).reshape(-1, 3)
     n = pts.shape[0]
     key = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)) >> 1
     key = jnp.where(depth.reshape(-1) > 0, key.astype(jnp.int32), -1)
+    if method == "strided":
+        m = -(-n // cap)
+        keyp = jnp.pad(key, (0, cap * m - n), constant_values=-1)
+        blocks = keyp.reshape(cap, m)
+        j = jnp.argmax(blocks, axis=1)
+        rows = jnp.arange(cap)
+        flat_idx = jnp.minimum(rows * m + j, n - 1)
+        valid = blocks[rows, j] >= 0
+        return pts[flat_idx], valid
     top, idx = jax.lax.top_k(key, cap)
     return pts[idx], top >= 0
 
@@ -280,6 +308,8 @@ def _fused_register_frame_impl(
                 perception["flow"], state.prev_rgbxyz, cur_rgbxyz, uv,
                 mask_params=mask_params,
                 downscale=config.flow_downscale,
+                bf16=config.flow_bf16,
+                mask_downscale=config.mask_downscale,
             )
             ok = inb & pvalid & (deformed_pts[:, 2] > 0)
             if mask_params is not None:
@@ -339,7 +369,8 @@ def _fused_register_frame_impl(
         def _run_lepard(operand):
             dpts, dep = operand
             tgt_pcd, tgt_valid = _deterministic_target_subsample(
-                dep, intr, config.lepard_max_target_points
+                dep, intr, config.lepard_max_target_points,
+                method=config.lepard_subsample,
             )
             lf, lm, _ = scene_flow(
                 perception["lepard"],

@@ -95,6 +95,9 @@ class FusionConfig:
     # slowly-accumulating tangential drift, so sub-frame-rate cadence is
     # an accuracy/speed knob; A/B with evaluate_dt4d --lepard_every)
     lepard_every: int = 1
+    # target-subsample: "topk" hash-uniform (one 287k sort at the
+    # envelope) or "strided" block-stratified argmax (sort-free)
+    lepard_subsample: str = "topk"
     # optional optical-flow source (PWC-Net; flow_params required):
     # flow-lifted per-pixel 3D targets override projective association for
     # model points whose flowed sample is valid (run_model.py:115-217)
@@ -124,6 +127,10 @@ class FusionConfig:
     # object-path semantics) or "sparse" (lift only at the model
     # projections — skips image-scale gathers; see fused_step)
     flow_lift: str = "dense"
+    # sparse-lift perception in bfloat16 (MXU-native; <0.1 px flow
+    # delta measured on the rendered eval) and MaskNet at 1/N res
+    flow_bf16: bool = False
+    mask_downscale: int = 1
     # keyframe pose graph for long-sequence drift correction (north-star
     # subsystem, no reference counterpart): record a keyframe every N
     # frames (0 = off); loop closures re-register the current model
@@ -1152,10 +1159,13 @@ class DynamicFusion:
             flow_mode=cfg.flow_mode,
             flow_downscale=cfg.flow_downscale,
             flow_lift=cfg.flow_lift,
+            flow_bf16=cfg.flow_bf16,
+            mask_downscale=cfg.mask_downscale,
             use_lepard=use_lepard,
             lepard=self.lepard_config if use_lepard else None,
             lepard_max_target_points=cfg.lepard_max_target_points,
             lepard_every=cfg.lepard_every,
+            lepard_subsample=cfg.lepard_subsample,
             min_cluster_matches=cfg.min_cluster_matches,
         )
         return step_config, state, tables

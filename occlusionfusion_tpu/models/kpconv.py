@@ -256,9 +256,21 @@ def build_pyramid(
     points: jnp.ndarray, valid: jnp.ndarray, config: PyramidConfig
 ) -> list[PyramidLevel]:
     """Multi-scale pyramid with pooling/upsampling indices, all in JAX."""
+    pts, vld = grid_subsample(
+        points, valid, config.first_voxel, config.level_sizes[0]
+    )
+    return build_pyramid_from_level0(pts, vld, config)
+
+
+def build_pyramid_from_level0(
+    pts: jnp.ndarray, vld: jnp.ndarray, config: PyramidConfig
+) -> list[PyramidLevel]:
+    """Pyramid tail given an already-subsampled level-0 cloud — the
+    vmap-able core (both match clouds share level shapes after the
+    level-0 subsample, so src+tgt stack into one batched pyramid; see
+    ``lepard.lepard_match`` batched_encode)."""
     levels: list[PyramidLevel] = []
     voxel = config.first_voxel
-    pts, vld = grid_subsample(points, valid, voxel, config.level_sizes[0])
     for l, size in enumerate(config.level_sizes):
         radius = voxel * config.radius_scale
         nmax = config.max_neighbors[l]

@@ -32,6 +32,11 @@ class LepardConfig(NamedTuple):
     match_threshold: float = 0.05  # coarse_match_thr-ish
     blend_knn: int = 3
     blend_radius: float = 0.1  # inference.py:154 / loss.py:264-284
+    # stack src+tgt into ONE batched pyramid+encoder pass (vmap over a
+    # leading 2-axis): identical math, half the op count — the in-scan
+    # encoder chain is latency-bound on TPU (many small kernels), so
+    # kernel count, not FLOPs, is its cost
+    batched_encode: bool = False
 
 
 def init_lepard_params(key, config: LepardConfig = LepardConfig()):
@@ -69,10 +74,36 @@ def lepard_match(
     tgt_points: jnp.ndarray,
     tgt_valid: jnp.ndarray,
 ) -> LepardMatches:
-    src_levels = K.build_pyramid(src_points, src_valid, config.kpfcn.pyramid)
-    tgt_levels = K.build_pyramid(tgt_points, tgt_valid, config.kpfcn.pyramid)
-    f_src, src_coarse = K.kpfcn_encode(params["kpfcn"], config.kpfcn, src_levels)
-    f_tgt, tgt_coarse = K.kpfcn_encode(params["kpfcn"], config.kpfcn, tgt_levels)
+    if config.batched_encode:
+        pyr = config.kpfcn.pyramid
+        s0, sv0 = K.grid_subsample(
+            src_points, src_valid, pyr.first_voxel, pyr.level_sizes[0]
+        )
+        t0, tv0 = K.grid_subsample(
+            tgt_points, tgt_valid, pyr.first_voxel, pyr.level_sizes[0]
+        )
+        levels_b = jax.vmap(
+            lambda p, v: K.build_pyramid_from_level0(p, v, pyr)
+        )(jnp.stack([s0, t0]), jnp.stack([sv0, tv0]))
+        f_b, coarse_b = jax.vmap(
+            lambda lv: K.kpfcn_encode(params["kpfcn"], config.kpfcn, lv)
+        )(levels_b)
+        f_src, f_tgt = f_b[0], f_b[1]
+        src_coarse = jax.tree.map(lambda x: x[0], coarse_b)
+        tgt_coarse = jax.tree.map(lambda x: x[1], coarse_b)
+    else:
+        src_levels = K.build_pyramid(
+            src_points, src_valid, config.kpfcn.pyramid
+        )
+        tgt_levels = K.build_pyramid(
+            tgt_points, tgt_valid, config.kpfcn.pyramid
+        )
+        f_src, src_coarse = K.kpfcn_encode(
+            params["kpfcn"], config.kpfcn, src_levels
+        )
+        f_tgt, tgt_coarse = K.kpfcn_encode(
+            params["kpfcn"], config.kpfcn, tgt_levels
+        )
     f_src = f_src @ params["proj"]["w"] + params["proj"]["b"]
     f_tgt = f_tgt @ params["proj"]["w"] + params["proj"]["b"]
     f_src, f_tgt, R, t = TR.reposition_transformer(

@@ -40,6 +40,9 @@ def _conv_params(key, kh, kw, cin, cout):
 
 
 def _conv(p, x, stride=1, dilation=1):
+    # follow the parameter dtype (bf16 perception casts params once;
+    # activations and internal f32 constants coerce here)
+    x = x.astype(p["w"].dtype)
     return (
         jax.lax.conv_general_dilated(
             x,
@@ -55,6 +58,7 @@ def _conv(p, x, stride=1, dilation=1):
 
 def _deconv(p, x):
     """stride-2 transposed conv, kernel 4 (upsample x2)."""
+    x = x.astype(p["w"].dtype)
     return (
         jax.lax.conv_transpose(
             x,
@@ -76,12 +80,12 @@ def bilinear_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     partial-warping mask (``pwcnet.py:16-36``): out-of-image samples -> 0."""
     B, H, W, C = img.shape
     v, u = jnp.meshgrid(
-        jnp.arange(H, dtype=jnp.float32),
-        jnp.arange(W, dtype=jnp.float32),
+        jnp.arange(H, dtype=img.dtype),
+        jnp.arange(W, dtype=img.dtype),
         indexing="ij",
     )
-    x = u[None] + flow[..., 0]
-    y = v[None] + flow[..., 1]
+    x = u[None] + flow[..., 0].astype(img.dtype)
+    y = v[None] + flow[..., 1].astype(img.dtype)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]

@@ -130,6 +130,15 @@ def main():
 
         chain_time("target_subsample_topk", sub_step)
 
+        @jax.jit
+        def sub_step2(s):
+            p, val = _deterministic_target_subsample(
+                depth + s * 0.0, intr, Q, method="strided"
+            )
+            return p.ravel()[0]
+
+        chain_time("target_subsample_strided", sub_step2)
+
     ck_path = os.environ.get("PROF_FLOW_CKPT", "checkpoints/flow.npz")
     if os.path.exists(ck_path):
         from occlusionfusion_tpu.models.checkpoint import normalize_indexed

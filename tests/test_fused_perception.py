@@ -99,6 +99,26 @@ class TestDeterministicSubsample:
         n_pix = int((np.asarray(depth) > 0).sum())
         assert int(v.sum()) == min(n_pix, 256)
 
+    def test_strided_method_stratified_and_deterministic(self):
+        depth = jnp.asarray(sphere_depth([0.0, 0.0, 0.6]))
+        pts1, v1 = _deterministic_target_subsample(
+            depth, INTR, 256, method="strided"
+        )
+        pts2, v2 = _deterministic_target_subsample(
+            depth, INTR, 256, method="strided"
+        )
+        np.testing.assert_array_equal(np.asarray(pts1), np.asarray(pts2))
+        v = np.asarray(v1)
+        # every selected valid point has positive depth
+        assert (np.asarray(pts1)[v][:, 2] > 0).all()
+        # block-stratified: a block with any valid pixel contributes one
+        n = H * W
+        m = -(-n // 256)
+        key = np.asarray(depth).reshape(-1) > 0
+        keyp = np.pad(key, (0, 256 * m - n))
+        blocks_valid = keyp.reshape(256, m).any(1)
+        np.testing.assert_array_equal(v, blocks_valid)
+
     def test_cap_exceeding_valid_pixels_masks_rest(self):
         depth = np.zeros((H, W), np.float32)
         depth[30:34, 30:34] = 0.5  # 16 valid pixels
@@ -325,6 +345,47 @@ class TestPatchwiseMaxWeights:
         # the smooth interior; boundary pixels may differ)
         for nd, ns in zip(outs["dense"][1], outs["sparse"][1]):
             assert abs(nd - ns) <= max(0.1 * nd, 32)
+
+    def test_bf16_and_lowres_mask_stay_close_to_f32(self):
+        """flow_bf16 + mask_downscale are throughput knobs, not
+        semantics changes: targets within ~2 mm and weights within ~0.1
+        of the f32/full-res sparse lift on a smooth textured pair."""
+        import jax.numpy as jnp
+
+        from occlusionfusion_tpu.fusion.flow_correspondence import (
+            flow_targets_at_points,
+        )
+        from occlusionfusion_tpu.fusion.fused_step import _rgbxyz_image
+
+        rng_np = np.random.RandomState(3)
+        seq = make_seq(n=2)
+        f0, f1 = seq.load(0), seq.load(1)
+        src = _rgbxyz_image(
+            jnp.asarray(f0.depth), jnp.asarray(f0.color), INTR
+        )
+        tgt = _rgbxyz_image(
+            jnp.asarray(f1.depth), jnp.asarray(f1.color), INTR
+        )
+        pwc = init_pwcnet_params(jax.random.PRNGKey(0))
+        mask = init_masknet_params(jax.random.PRNGKey(1))
+        uv = jnp.asarray(
+            rng_np.uniform(8, 56, size=(256, 2)).astype(np.float32)
+        )
+        t32, v32, w32 = flow_targets_at_points(
+            pwc, src, tgt, uv, mask_params=mask
+        )
+        t16, v16, w16 = flow_targets_at_points(
+            pwc, src, tgt, uv, mask_params=mask, bf16=True,
+            mask_downscale=2,
+        )
+        both = np.asarray(v32) & np.asarray(v16)
+        assert both.sum() > 50
+        dt = np.linalg.norm(
+            np.asarray(t32)[both] - np.asarray(t16)[both], axis=-1
+        )
+        assert np.median(dt) < 2e-3  # 2 mm at 0.6 m scene depth
+        dw = np.abs(np.asarray(w32)[both] - np.asarray(w16)[both])
+        assert np.median(dw) < 0.1
 
     def test_fused_step_flow_patch_path_runs(self):
         """End-to-end: the fused engine with MaskNet + flow_mask_patch

@@ -198,6 +198,30 @@ class TestLepardEndToEnd:
             np.asarray(m.rigid_R @ m.rigid_R.T), np.eye(3), atol=1e-4
         )
 
+    def test_batched_encode_matches_unbatched(self):
+        """batched_encode stacks src+tgt into one vmapped pyramid+encoder
+        pass — identical math to the two sequential passes (same coarse
+        points, same confidences to float tolerance)."""
+        pyr = K.PyramidConfig(level_sizes=(256, 96, 48, 24),
+                              first_voxel=0.06)
+        cfg0 = LepardConfig(kpfcn=K.KPFCNConfig(pyramid=pyr))
+        cfg1 = cfg0._replace(batched_encode=True)
+        params = init_lepard_params(jax.random.PRNGKey(0), cfg0)
+        src, sv = random_cloud(200, 256, seed=1)
+        tgt, tv = random_cloud(200, 256, seed=2)
+        m0 = lepard_match(params, cfg0, src, sv, tgt, tv)
+        m1 = lepard_match(params, cfg1, src, sv, tgt, tv)
+        np.testing.assert_allclose(
+            np.asarray(m0.src_points), np.asarray(m1.src_points), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(m0.confidence), np.asarray(m1.confidence),
+            atol=2e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m0.match_valid), np.asarray(m1.match_valid)
+        )
+
     def test_scene_flow_shapes(self):
         cfg = LepardConfig(
             kpfcn=K.KPFCNConfig(
