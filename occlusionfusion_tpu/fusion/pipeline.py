@@ -479,21 +479,17 @@ class DynamicFusion:
         if self.config.use_lepard and (
             frame.index % self.config.lepard_every == 0
         ):
-            from occlusionfusion_tpu.geometry.camera import backproject_depth
+            from occlusionfusion_tpu.fusion.fused_step import (
+                _deterministic_target_subsample,
+            )
             from occlusionfusion_tpu.models.lepard import scene_flow
 
-            cap_t = self.config.lepard_max_target_points
-            pts_im = np.asarray(
-                backproject_depth(depth, self.intr)
-            ).reshape(-1, 3)
-            obs = pts_im[pts_im[:, 2] > 0]
-            sel = np.random.RandomState(frame.index).permutation(len(obs))[
-                :cap_t
-            ]
-            tgt_pcd = np.zeros((cap_t, 3), np.float32)
-            tgt_pcd[: len(sel)] = obs[sel]
-            tgt_valid = np.zeros(cap_t, bool)
-            tgt_valid[: len(sel)] = True
+            # same device-side deterministic subsample as the fused
+            # engine (engines agree; lepard_subsample A/Bs apply here)
+            tgt_pcd, tgt_valid = _deterministic_target_subsample(
+                depth, self.intr, self.config.lepard_max_target_points,
+                method=self.config.lepard_subsample,
+            )
             flow, flow_mask, _ = scene_flow(
                 self.lepard_params,
                 self.lepard_config,

@@ -98,6 +98,11 @@ def main():
                          "reference's, run_model.py:115-217; the "
                          "override>=fill A/B is VERDICT r2 item 3's "
                          "done-criterion)")
+    ap.add_argument("--lepard_subsample", default="topk",
+                    choices=("topk", "strided"),
+                    help="target-subsample selection A/B (fused-engine "
+                         "lepard_subsample knob; also drives the "
+                         "stepwise loop)")
     ap.add_argument("--lepard_every", type=int, default=1,
                     help="run the matcher every K-th frame (cadence "
                          "accuracy A/B for the fused engine's "
@@ -261,6 +266,7 @@ def main():
         solver=args.solver,
         use_lepard=lepard_params is not None,
         lepard_every=args.lepard_every,
+        lepard_subsample=args.lepard_subsample,
         use_flow=flow_params is not None,
         keyframe_interval=args.keyframe_interval,
         flow_downscale=args.flow_downscale,

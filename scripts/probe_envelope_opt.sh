@@ -1,6 +1,7 @@
 #!/bin/sh
 # Round-3 optimization probes at the reference envelope (cap 256), one
-# fresh process each. Run AFTER profile_envelope.sh:
+# fresh process each, informed by the stage decomposition
+# (base 28.3 ms / GNN +1.6 / flow +34 / lepard +119):
 #   nohup sh scripts/probe_envelope_opt.sh > logs/probe_opt.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
@@ -17,16 +18,21 @@ run_cfg() {
   echo "[wall $(( $(date +%s) - t0 )) s]"
 }
 
-# flow-only ladder: sparse lift, then +bf16, then +low-res MaskNet
-run_cfg flow_sparse BENCH_FLOW=1 BENCH_FLOW_LIFT=sparse
-run_cfg flow_sparse_bf16 BENCH_FLOW=1 BENCH_FLOW_LIFT=sparse \
-  BENCH_FLOW_BF16=1
+# lepard ladder (dominant stage: 119 ms/frame)
+run_cfg lepard_strided BENCH_LEPARD=1 BENCH_LEPARD_SUBSAMPLE=strided
+run_cfg lepard_strided_batched BENCH_LEPARD=1 \
+  BENCH_LEPARD_SUBSAMPLE=strided BENCH_LEPARD_BATCHED=1
+run_cfg lepard_strided_batched_every4 BENCH_LEPARD=1 \
+  BENCH_LEPARD_SUBSAMPLE=strided BENCH_LEPARD_BATCHED=1 \
+  BENCH_LEPARD_EVERY=4
+# flow ladder (34 ms/frame)
 run_cfg flow_sparse_bf16_mds2 BENCH_FLOW=1 BENCH_FLOW_LIFT=sparse \
   BENCH_FLOW_BF16=1 BENCH_MASK_DS=2
-# lepard-only at cadence 4
-run_cfg lepard_every4 BENCH_LEPARD=1 BENCH_LEPARD_EVERY=4
+run_cfg flow_sparse_bf16_mds2_ds2 BENCH_FLOW=1 BENCH_FLOW_LIFT=sparse \
+  BENCH_FLOW_BF16=1 BENCH_MASK_DS=2 BENCH_FLOW_DS=2
 # the full optimized loop
 run_cfg full_opt BENCH_MOTION=1 BENCH_FLOW=1 BENCH_LEPARD=1 \
   BENCH_FLOW_LIFT=sparse BENCH_FLOW_BF16=1 BENCH_MASK_DS=2 \
+  BENCH_LEPARD_SUBSAMPLE=strided BENCH_LEPARD_BATCHED=1 \
   BENCH_LEPARD_EVERY=4
 echo "===== done ====="

@@ -28,6 +28,8 @@ run limbs5_lepard_r2_every2 $R1 --lepard_weights checkpoints/lepard_r2.npz \
   --lepard_every 2
 run limbs5_lepard_r2_every4 $R1 --lepard_weights checkpoints/lepard_r2.npz \
   --lepard_every 4
+run limbs5_lepard_r2_strided $R1 \
+  --lepard_weights checkpoints/lepard_r2.npz --lepard_subsample strided
 
 # --- regime 2: articulated self-occlusion (arms) ---------------------
 R2="--shape arms --stepwise --frames 12"

@@ -173,8 +173,9 @@ class TestFusedPerception:
             fusion.perception,
         )
         infos = np.asarray(infos)
-        assert infos.shape == (3, 4)
+        assert infos.shape == (3, 5)
         assert np.isfinite(infos).all()
+        assert (infos[:, 4] == 1.0).all()  # all solves valid
 
 
 class TestRunFusedDriver:
