@@ -252,6 +252,13 @@ def bench_fusion():
         )
 
         K = int(os.environ.get("BENCH_CHUNK", "16"))
+        # device-park the motion checkpoint: numpy leaves as jit args
+        # re-upload host->device on EVERY dispatch through the relay
+        # (measured 43 ms/call for the 164-leaf motion tree; the
+        # lepard/flow trees are parked by DynamicFusion.__init__)
+        if motion_params is not None:
+            motion_params = jax.device_put(motion_params)
+        intr_dev = jax.device_put(fusion.intr)
         depths = jnp.stack(
             [jnp.asarray(seq.load(i % 23 + 1).depth) for i in range(K)]
         )
@@ -266,7 +273,7 @@ def bench_fusion():
             for _ in range(k):
                 state, infos = fused_register_chunk(
                     sc, state, tables, motion_params, depths, colors,
-                    fusion.intr, fusion.perception,
+                    intr_dev, fusion.perception,
                 )
             float(infos[0, 0])
             return time.perf_counter() - t0

@@ -205,9 +205,12 @@ def flow_targets_at_points(
     flow_q = flow_q.astype(jnp.float32)
     # full-res pixel (u,v) -> quarter-res (downscaled) grid coordinate.
     # jax.image.resize uses half-pixel centers: out[i] samples
-    # in[(i+0.5)*scale-0.5]; composing the x4 upsample and the ds
-    # downsample gives q = ((uv/ds) + 0.5)/4 - 0.5 for the quarter grid
-    uv_d = uv / ds if ds > 1 else uv
+    # in[(i+0.5)*scale-0.5]; the downscale composition therefore maps a
+    # full-res pixel to uv_d = (uv+0.5)/ds - 0.5 on the 1/ds grid, and
+    # that to q = (uv_d+0.5)/4 - 0.5 on the quarter grid — matching the
+    # dense path's resize chain exactly (a plain uv/ds is offset by
+    # 0.125*(1-1/ds) quarter-px, ~0.5 full-res px at ds=2)
+    uv_d = (uv + 0.5) / ds - 0.5 if ds > 1 else uv
     q = (uv_d + 0.5) / 4.0 - 0.5
     # x flow_scale yields (downscaled-)full-res pixel units — the x4
     # spatial upsample is folded into the reference's x20 convention
@@ -225,7 +228,13 @@ def flow_targets_at_points(
     )
     src_depth = source_rgbxyz[5]
     sdep = bilinear_sample(src_depth[..., None], uv)[:, 0]
-    valid = inb & (sdep > 0) & (targets[:, 2] > 0)
+    # mirror the dense path's vsamp gate: at depth silhouettes the
+    # bilinear target sample mixes z=0 background into a still-positive
+    # z; sampling the per-pixel validity field and thresholding rejects
+    # those corrupted boundary targets
+    tgt_valid_map = (target_rgbxyz[5] > 0).astype(jnp.float32)
+    tvsamp = bilinear_sample(tgt_valid_map[..., None], uv2)[:, 0]
+    valid = inb & (sdep > 0) & (targets[:, 2] > 0) & (tvsamp > 0.5)
     if mask_params is not None:
         s6 = src_p[None].transpose(0, 2, 3, 1)
         t6 = tgt_p[None].transpose(0, 2, 3, 1)
@@ -250,8 +259,9 @@ def flow_targets_at_points(
         weights_map = masknet_forward(mask_params, mfeat, s6, t6)[
             0, :, :, 0
         ].astype(jnp.float32)
-        # sample the (padded, downscaled) weight map at uv_d directly
-        scale_uv = uv_d / mds if mds > 1 else uv_d
+        # sample the (padded, downscaled) weight map at uv_d with the
+        # same half-pixel-center composition as the flow sample above
+        scale_uv = (uv_d + 0.5) / mds - 0.5 if mds > 1 else uv_d
         w = bilinear_sample(weights_map[..., None], scale_uv)[:, 0]
         weights = jnp.where(valid, w, 0.0)
     else:

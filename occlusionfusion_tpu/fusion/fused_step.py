@@ -77,8 +77,11 @@ class FusionStepState(NamedTuple):
     # previous frame's RGB-XYZ image [6, H, W] — the optical-flow source
     # (None unless config.use_flow; the scan carries it frame to frame)
     prev_rgbxyz: jnp.ndarray = None
-    # frames processed since the tables were built (drives the Lepard
-    # cadence gate; None when lepard_every == 1)
+    # absolute frame index of the frame being registered (seeded with
+    # frame_id+1 at build_fused, +1 per scanned frame) — drives the
+    # Lepard cadence gate on the same absolute phase as the stepwise
+    # path's ``frame.index % lepard_every``, including across table
+    # rebuilds. None when lepard_every == 1.
     frame_count: jnp.ndarray = None
 
 

@@ -197,12 +197,21 @@ class DynamicFusion:
             self.motion_runner = MotionCompletionRunner(
                 motion_params, n0_cap=config.max_nodes
             )
-        self.lepard_params = lepard_params
+        # park every perception checkpoint on device ONCE. Checkpoints
+        # load as numpy pytrees (~200 leaves, tens of MB); passed raw as
+        # jit arguments they are re-uploaded host->device on EVERY
+        # dispatch — measured through the axon relay (scripts/
+        # probe_param_upload.py, 2026-08-21): lepard 1881 ms/call,
+        # pwc+mask 993 ms, motion 43 ms vs <1 ms device-resident. That
+        # re-upload, amortized over the 16-frame chunk, was the entire
+        # "in-scan perception overhead" of round 3 (118/62/2.7 ms/frame
+        # — matching the +86-119/+34-44/+2 ms stage deltas).
+        self.lepard_params = self._device_params(lepard_params)
         self.lepard_config = lepard_config
         if config.use_lepard and lepard_params is None:
             raise ValueError("use_lepard requires lepard_params")
-        self.flow_params = flow_params
-        self.mask_params = mask_params
+        self.flow_params = self._device_params(flow_params)
+        self.mask_params = self._device_params(mask_params)
         if config.use_flow and flow_params is None:
             raise ValueError("use_flow requires flow_params")
         self.prev_frame: Optional[Frame] = None
@@ -210,6 +219,26 @@ class DynamicFusion:
         self.prev_R = None
         self.prev_t = None
         self.brick_grid = None
+
+    def _device_params(self, tree):
+        """Device-resident copy of a param pytree, cached by identity so
+        the same host tree passed on every call uploads exactly once
+        (numpy leaves as jit args re-upload per dispatch — see __init__
+        note)."""
+        if tree is None:
+            return None
+        cache = getattr(self, "_devparam_cache", None)
+        if cache is None:
+            cache = self._devparam_cache = {}
+        hit = cache.get(id(tree))
+        if hit is not None and hit[0] is tree:
+            return hit[1]
+        leaves = jax.tree.leaves(tree)
+        if leaves and all(isinstance(x, jax.Array) for x in leaves):
+            return tree  # already device-resident
+        dev = jax.device_put(tree)
+        cache[id(tree)] = (tree, dev)
+        return dev
 
     # ------------------------------------------------------------------
     def initialize(self, frame: Frame):
@@ -1136,8 +1165,14 @@ class DynamicFusion:
             translations=jnp.array(self.warp.translations, copy=True),
             motion=init_state(cap),
             prev_rgbxyz=prev_rgbxyz,
+            # absolute index of the NEXT frame the engine will register
+            # (frame_id is the last registered frame) — so the fused
+            # cadence gate fires on exactly the same absolute frames as
+            # the stepwise path's ``frame.index % lepard_every`` even
+            # after a mid-sequence growth/keyframe table rebuild
             frame_count=(
-                jnp.int32(0) if cfg.lepard_every > 1 else None
+                jnp.int32(self.frame_id + 1)
+                if cfg.lepard_every > 1 else None
             ),
         )
         step_config = FusedStepConfig(
@@ -1175,10 +1210,10 @@ class DynamicFusion:
             step_config,
             state,
             tables,
-            motion_params,
+            self._device_params(motion_params),
             jnp.asarray(frame.depth),
             jnp.asarray(frame.color),
-            self.intr,
+            self._device_params(self.intr),
             getattr(self, "perception", None),
         )
 
@@ -1199,6 +1234,9 @@ class DynamicFusion:
         end = end if end is not None else len(self.seq)
         self.initialize(self.seq.load(start))
         sc, state, tables = self.build_fused(motion_params)
+        # upload the motion checkpoint once — numpy leaves as jit args
+        # re-upload per dispatch (see __init__ note)
+        motion_params = self._device_params(motion_params)
         ids = list(range(start + skip, end, skip))
         infos = []
         kint = self.config.keyframe_interval
@@ -1209,7 +1247,8 @@ class DynamicFusion:
             colors = jnp.stack([jnp.asarray(f.color) for f in frames])
             state, out = fused_register_chunk(
                 sc, state, tables, motion_params, depths, colors,
-                self.intr, getattr(self, "perception", None),
+                self._device_params(self.intr),
+                getattr(self, "perception", None),
             )
             out_np = np.asarray(out)
             for j, i in enumerate(chunk_ids):

@@ -79,17 +79,21 @@ def bilinear_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Warp [B, H, W, C] by flow [B, H, W, 2] (u, v), with the reference's
     partial-warping mask (``pwcnet.py:16-36``): out-of-image samples -> 0."""
     B, H, W, C = img.shape
+    # coordinate math stays f32 even under bf16 perception: bf16 ulp is
+    # 0.5 px at coords >= 64, which truncates fractional warp offsets to
+    # near-nearest-neighbor over most of a 448x640 frame. Only the
+    # gathered feature values follow img.dtype.
     v, u = jnp.meshgrid(
-        jnp.arange(H, dtype=img.dtype),
-        jnp.arange(W, dtype=img.dtype),
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    x = u[None] + flow[..., 0].astype(img.dtype)
-    y = v[None] + flow[..., 1].astype(img.dtype)
+    x = u[None] + flow[..., 0].astype(jnp.float32)
+    y = v[None] + flow[..., 1].astype(jnp.float32)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    fx = (x - x0)[..., None].astype(img.dtype)
+    fy = (y - y0)[..., None].astype(img.dtype)
 
     def gather(xi, yi):
         inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
