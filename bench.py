@@ -33,9 +33,16 @@ BENCH_FLOW_CKPT, default checkpoints/flow.npz), BENCH_LEPARD=1 adds
 matcher scene flow (BENCH_LEPARD_CKPT, default
 checkpoints/lepard_trained.npz); combine with BENCH_MOTION=1 for the
 full reference loop. BENCH_FLOW_DS=N runs PWC at 1/N resolution.
-Measured 2026-08-21 (slope+readback, one v5e): full loop at the
-reference envelope 7.33 fps (cap 256) / 5.69 (cap 512); BENCH_FLOW_DS=2
-measured 5.53 — PWC input resolution is not the bottleneck there.
+
+Measured 2026-08-21 AFTER the device-parked-params fix (quiet host,
+slope+readback, one v5e; every pre-fix perception number — 7.33/5.69/
+5.53/4.36/8.71/13.84 fps — was dominated by per-dispatch re-upload of
+the numpy checkpoint pytrees and is obsolete, see
+scripts/probe_param_upload.py):
+  cap-256 envelope: base 35.35; +GNN 33.44; +lepard 32.77;
+  +flow(dense) 20.06; FULL loop 18.68; FULL with
+  BENCH_FLOW_LIFT=sparse BENCH_FLOW_BF16=1 BENCH_MASK_DS=2 = 24.03,
+  + BENCH_FLOW_DS=2 = 25.72 (cap 512: 19.01).
 """
 
 import json

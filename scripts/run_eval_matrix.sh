@@ -39,6 +39,9 @@ run arms_flow_override $R2 --flow_weights checkpoints/flow.npz \
   --flow_mode override
 run arms_lepard_r2 $R2 --lepard_weights checkpoints/lepard_r2.npz
 
+run arms_flow_ds2 $R2 --flow_weights checkpoints/flow.npz \
+  --flow_downscale 2
+
 # --- solver A/B ------------------------------------------------------
 run limbs5_nicp $R1 --solver nicp
 run limbs5_motion_gnn $R1 --use_motion_model
