@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--solver", default="gn_dense")
+    ap.add_argument("--gn_iters", type=int, default=0,
+                    help="override gn_dense iteration count (0 = the "
+                         "engine default, 6 stepwise / 6 fused); the "
+                         "warm-started tracking solve may converge in "
+                         "2-3 — iteration-count accuracy A/B for the "
+                         "envelope perf ladder")
     ap.add_argument("--use_motion_model", action="store_true")
     ap.add_argument("--shape", default="blob",
                     choices=("blob", "limbs", "arms"),
@@ -103,6 +109,11 @@ def main():
                     help="target-subsample selection A/B (fused-engine "
                          "lepard_subsample knob; also drives the "
                          "stepwise loop)")
+    ap.add_argument("--lepard_threshold", type=float, default=None,
+                    help="override the checkpoint's coarse match "
+                         "confidence threshold (higher = fewer, more "
+                         "confident anchors — the articulated-regime "
+                         "robustness knob)")
     ap.add_argument("--lepard_every", type=int, default=1,
                     help="run the matcher every K-th frame (cadence "
                          "accuracy A/B for the fused engine's "
@@ -240,6 +251,10 @@ def main():
         lepard_params, lepard_config = load_lepard_checkpoint(
             args.lepard_weights
         )
+        if args.lepard_threshold is not None:
+            lepard_config = lepard_config._replace(
+                match_threshold=args.lepard_threshold
+            )
         args.stepwise = True  # learned scene flow runs in the stepwise loop
     flow_params = mask_params = None
     if args.flow_weights:
@@ -264,6 +279,20 @@ def main():
         ),
         use_motion_model=args.use_motion_model,
         solver=args.solver,
+        # iteration-count A/B: mirror the engine's default GNConfig
+        # mapping (pipeline.py: w_point=nicp.w_ldmk, w_arap=nicp.w_arap,
+        # w_motion=nicp.w_motion/100) so ONLY iters varies
+        gn=(
+            None if not args.gn_iters else __import__(
+                "occlusionfusion_tpu.solvers.gauss_newton",
+                fromlist=["GNConfig"],
+            ).GNConfig(
+                iters=args.gn_iters,
+                w_point=1.0,
+                w_arap=10.0,
+                w_motion=1.0 if args.use_motion_model else 0.0,
+            )
+        ),
         use_lepard=lepard_params is not None,
         lepard_every=args.lepard_every,
         lepard_subsample=args.lepard_subsample,

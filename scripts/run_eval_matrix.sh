@@ -45,6 +45,12 @@ run arms_flow_ds2 $R2 --flow_weights checkpoints/flow.npz \
 # --- solver A/B ------------------------------------------------------
 run limbs5_nicp $R1 --solver nicp
 run limbs5_motion_gnn $R1 --use_motion_model
+# iteration-count ladder (warm-started tracking solve; the envelope
+# perf ladder wants the smallest iters that holds accuracy)
+run limbs5_gn2 $R1 --gn_iters 2
+run limbs5_gn3 $R1 --gn_iters 3
+run arms_gn2 $R2 --gn_iters 2
+run arms_gn3 $R2 --gn_iters 3
 
 # --- pose graph: leave-and-revisit camera ----------------------------
 R3="--shape limbs --rotate_deg 3 --frames 18 --camera_path truck_return --camera_amp 0.3"

@@ -270,6 +270,11 @@ def main():
                          "~ the scale-1.0 curriculum cloud); with it, "
                          "narrow ranges (e.g. 0.9,1.1) concentrate "
                          "capacity at the deployed scale")
+    ap.add_argument("--shapes", default="blob,limbs,arms",
+                    help="comma list of procedural shapes for "
+                         "--rendered_frac pairs (uniformly sampled); "
+                         "bias toward arms to harden the matcher "
+                         "against articulated self-occlusion")
     ap.add_argument("--rendered_frac", type=float, default=0.0,
                     help="fraction of training pairs drawn from rendered "
                          "depth-cloud pairs of the procedural shapes "
@@ -508,6 +513,7 @@ def main():
         if args.rendered_frac and rng.rand() < args.rendered_frac:
             return tuple(jnp.asarray(x) for x in rendered_cloud_pair(
                 rng, n=args.points, cap=args.cap,
+                shapes=tuple(args.shapes.split(",")),
             ))
         # curriculum: rotation magnitude and warp amplitude ramp up over
         # the first half of training
