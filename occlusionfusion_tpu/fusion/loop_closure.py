@@ -33,10 +33,21 @@ class RigidAlignment(NamedTuple):
     residual: jnp.ndarray  # scalar: median |aligned - target| over inliers
     initial_residual: jnp.ndarray  # scalar: same at identity pose — the
     # "was anything off?" gate (symmetric shapes have rotation null
-    # spaces; only correct when the model is measurably off the surface)
+    # spaces; only correct when the model is measurably off the surface).
+    # CAVEAT: a fully-lost pose has ZERO initial inliers and the masked
+    # median degenerates to 0.0 — always read it together with
+    # initial_inlier_fraction (0 inliers => "healthy-looking" 0.0
+    # residual is meaningless; that exact confusion kept relocalization
+    # from ever firing on the leave-and-revisit regime)
+    initial_inlier_fraction: jnp.ndarray = None  # scalar, at identity
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "max_depth_diff"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "max_depth_diff", "coarse_init", "coarse_band",
+    ),
+)
 def rigid_depth_alignment(
     points: jnp.ndarray,  # [P, 3] current model points (camera frame)
     point_valid: jnp.ndarray,  # [P]
@@ -44,10 +55,26 @@ def rigid_depth_alignment(
     intr,
     iters: int = 5,
     max_depth_diff: float = 0.1,
+    coarse_init: bool = True,
+    coarse_inlier_threshold: float = 0.25,
+    coarse_band: float = 0.25,
 ) -> RigidAlignment:
     """Estimate the rigid (R, t) mapping ``points`` onto the surface
     observed in ``depth_im``: iterate projective association and
-    weighted Kabsch over the valid matches."""
+    weighted Kabsch over the valid matches.
+
+    Projective ICP only converges from inside its association basin
+    (``max_depth_diff``); a lost model — the leave-and-revisit regime,
+    where the object left the frustum and tracking froze — sits far
+    outside it and the identity start finds no inliers at all. With
+    ``coarse_init`` (default), when the identity pose's inlier fraction
+    is below ``coarse_inlier_threshold`` the solve prepends a
+    wide-baseline recovery stage: translation init from the model
+    centroid to the observed-cloud centroid, then ``iters`` ICP rounds
+    with the wide ``coarse_band`` association gate, before the nominal
+    fine rounds. A healthy start (fraction above the threshold) skips
+    the recovery stage entirely, so loop-closure measurements between
+    overlapping keyframes are unchanged."""
 
     # SE(3) accumulation must stay in f32 on TPU (default matmul is
     # bf16; a composed R drifts off SO(3) within a few iterations)
@@ -60,22 +87,27 @@ def rigid_depth_alignment(
         med = srt[idx]
         return jnp.where(jnp.isfinite(med), med, 0.0)
 
-    def step(carry, _):
-        R, t = carry
-        cur = mm("pj,ij->pi", points, R) + t
-        targets, ok = projective_correspondences(
-            cur, point_valid, depth_im, intr, max_depth_diff=max_depth_diff
-        )
-        # Cauchy reweighting: silhouette-adjacent pixels have steep
-        # depth gradients (cm-scale target noise) and would otherwise
-        # dominate the point-to-point Kabsch
-        dist = jnp.linalg.norm(cur - targets, axis=-1)
-        s = jnp.maximum(masked_median(dist, ok), 1e-6)
-        w = ok.astype(jnp.float32) / (1.0 + jnp.square(dist / (3.0 * s)))
-        dR, dt = weighted_kabsch(cur, targets, weights=w)
-        R = mm("ij,jk->ik", dR, R)
-        t = mm("ij,j->i", dR, t) + dt
-        return (R, t), None
+    def make_step(band):
+        def step(carry, _):
+            R, t = carry
+            cur = mm("pj,ij->pi", points, R) + t
+            targets, ok = projective_correspondences(
+                cur, point_valid, depth_im, intr, max_depth_diff=band
+            )
+            # Cauchy reweighting: silhouette-adjacent pixels have steep
+            # depth gradients (cm-scale target noise) and would
+            # otherwise dominate the point-to-point Kabsch
+            dist = jnp.linalg.norm(cur - targets, axis=-1)
+            s = jnp.maximum(masked_median(dist, ok), 1e-6)
+            w = ok.astype(jnp.float32) / (
+                1.0 + jnp.square(dist / (3.0 * s))
+            )
+            dR, dt = weighted_kabsch(cur, targets, weights=w)
+            R = mm("ij,jk->ik", dR, R)
+            t = mm("ij,j->i", dR, t) + dt
+            return (R, t), None
+
+        return step
 
     def median_residual(pts):
         targets, ok = projective_correspondences(
@@ -87,14 +119,36 @@ def rigid_depth_alignment(
         )
         return err, frac
 
-    r0, _ = median_residual(points)
+    r0, frac0 = median_residual(points)
+    init_R = jnp.eye(3, dtype=points.dtype)
+    init_t = jnp.zeros(3, points.dtype)
+    if coarse_init:
+        from occlusionfusion_tpu.geometry.camera import backproject_depth
+
+        obs = backproject_depth(depth_im, intr).reshape(-1, 3)
+        obs_ok = (depth_im.reshape(-1) > 0).astype(jnp.float32)
+        obs_c = jnp.sum(obs * obs_ok[:, None], 0) / jnp.maximum(
+            jnp.sum(obs_ok), 1.0
+        )
+        pw = point_valid.astype(jnp.float32)
+        pts_c = jnp.sum(points * pw[:, None], 0) / jnp.maximum(
+            jnp.sum(pw), 1.0
+        )
+        lost = (frac0 < coarse_inlier_threshold) & (jnp.sum(obs_ok) > 0)
+        start_t = jnp.where(lost, obs_c - pts_c, 0.0)
+        (cR, ct), _ = jax.lax.scan(
+            make_step(coarse_band), (init_R, start_t), None, length=iters
+        )
+        # adopt the recovery pose only when lost — a healthy start keeps
+        # the identity init and the wide-band rounds are discarded
+        init_R = jnp.where(lost, cR, init_R)
+        init_t = jnp.where(lost, ct, init_t)
     (R, t), _ = jax.lax.scan(
-        step, (jnp.eye(3, dtype=points.dtype), jnp.zeros(3, points.dtype)),
-        None, length=iters,
+        make_step(max_depth_diff), (init_R, init_t), None, length=iters
     )
     final = mm("pj,ij->pi", points, R) + t
     err, frac = median_residual(final)
     return RigidAlignment(
         rotation=R, translation=t, inlier_fraction=frac, residual=err,
-        initial_residual=r0,
+        initial_residual=r0, initial_inlier_fraction=frac0,
     )

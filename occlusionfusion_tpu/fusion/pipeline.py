@@ -157,6 +157,11 @@ class FusionConfig:
     # must halve the residual — ordinary non-rigid tracking error is the
     # solver's job, not a rigid yank's
     relocalize_threshold: float = 0.02
+    # wide-baseline recovery gates (track-lost relocalization): minimum
+    # observed-depth pixels to attempt recovery, and the stricter final
+    # inlier fraction a recovered pose must reach to be adopted
+    relocalize_min_obs_px: int = 400
+    relocalize_recover_inliers: float = 0.5
     # skip re-anchoring when the pose-graph correction is below this
     # (rotation angle rad + translation m)
     min_correction: float = 1e-4
@@ -689,6 +694,15 @@ class DynamicFusion:
                 else np.isfinite(_floss)
             ),
         }
+        # track-loss state (drives wide-baseline relocalization; see
+        # _relocalize): tracking is LOST once a frame finds (almost) no
+        # correspondences — the object left the frustum / total
+        # occlusion. Sticky until a successful recovery clears it: a
+        # later frame can report plenty of correspondences while the
+        # model sits on the wrong surface (sliver collapse), so a high
+        # count alone must NOT clear the state.
+        if info["n_correspondences"] < 16:
+            self.track_lost = True
 
         # 7. optional graph growth onto newly observed surface
         if (
@@ -881,6 +895,20 @@ class DynamicFusion:
             self.warp, self.model_points, self.point_table
         )
         pvalid = self.model_valid & self.point_table.valid
+        # wide-baseline recovery (centroid init + wide association band)
+        # is armed ONLY from the track-lost state — a partially-visible
+        # object also has a low inlier fraction, and recovery from that
+        # state collapses the whole model onto the visible sliver
+        # (observed: a 2.4-magnitude wrong correction on the revisit
+        # clip's half-out frames). Losing the object entirely first is
+        # the discriminator.
+        recovering = bool(getattr(self, "track_lost", False))
+        if recovering:
+            # a substantial observation is also required — recovering
+            # against a sliver is as bad as not recovering
+            n_obs = int(np.count_nonzero(np.asarray(kf["depth"]) > 0))
+            if n_obs < cfg.relocalize_min_obs_px:
+                return 0.0
         align = rigid_depth_alignment(
             deformed_pts,
             pvalid,
@@ -888,13 +916,28 @@ class DynamicFusion:
             self.intr,
             iters=cfg.loop_align_iters,
             max_depth_diff=cfg.max_depth_diff,
+            coarse_init=recovering,
         )
-        if (
-            float(align.inlier_fraction) < cfg.loop_min_inliers
-            or float(align.initial_residual) < cfg.relocalize_threshold
+        # a fully-lost pose has ~zero INITIAL inliers and its masked
+        # median initial_residual degenerates to 0.0 — which used to
+        # read as "healthy, nothing to correct" and kept relocalization
+        # from ever firing on the leave-and-revisit regime. The
+        # healthy/improvement gates therefore only apply when NOT
+        # recovering; recovery instead demands a strictly higher final
+        # overlap before adopting the new pose.
+        min_final = (
+            max(cfg.loop_min_inliers, cfg.relocalize_recover_inliers)
+            if recovering else cfg.loop_min_inliers
+        )
+        if float(align.inlier_fraction) < min_final:
+            return 0.0  # final pose still off the surface: no evidence
+        if not recovering and (
+            float(align.initial_residual) < cfg.relocalize_threshold
             or float(align.residual) >= 0.5 * float(align.initial_residual)
         ):
             return 0.0
+        if recovering:
+            self.track_lost = False  # recovery accepted
         dR = np.asarray(align.rotation)
         dt = np.asarray(align.translation)
         angle = float(
@@ -1251,6 +1294,8 @@ class DynamicFusion:
                 getattr(self, "perception", None),
             )
             out_np = np.asarray(out)
+            if (out_np[:, 1] < 16).any():
+                self.track_lost = True  # see register_frame
             for j, i in enumerate(chunk_ids):
                 infos.append(
                     {

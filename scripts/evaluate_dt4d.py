@@ -109,6 +109,9 @@ def main():
                     help="target-subsample selection A/B (fused-engine "
                          "lepard_subsample knob; also drives the "
                          "stepwise loop)")
+    ap.add_argument("--print_infos", action="store_true",
+                    help="print each frame's solver/keyframe info dict "
+                         "(loop-closure / relocalization tracing)")
     ap.add_argument("--lepard_threshold", type=float, default=None,
                     help="override the checkpoint's coarse match "
                          "confidence threshold (higher = fewer, more "
@@ -337,6 +340,8 @@ def main():
         if args.stepwise:
             finfo = fusion.register_frame(seq.load(i))
             n_valid_solves += int(finfo.get("solve_valid", True))
+            if args.print_infos:
+                print(f"frame {i}: {finfo}", flush=True)
             warp = fusion.warp
             translations = warp.translations
         else:

@@ -45,6 +45,74 @@ class TestRigidDepthAlignment:
         mapped = rec_R @ (center + offset) + rec_t
         np.testing.assert_allclose(mapped, center, atol=2e-3)
 
+    def test_wide_baseline_recovery(self):
+        """A LOST pose (offset far outside the association basin, zero
+        identity-pose inliers) recovers via the coarse centroid-init
+        wide-band stage; without coarse_init the same solve finds
+        nothing (the round-3 leave-and-revisit no-op, VERDICT item 6)."""
+        seq, _ = make_sequence(n_frames=1, step=(0.0, 0.0, 0.0))
+        frame = seq.load(0)
+        depth = jnp.asarray(frame.depth)
+        v, u = np.nonzero(frame.depth > 0)
+        d = frame.depth[v, u]
+        fx, fy = float(seq.intrinsics.fx), float(seq.intrinsics.fy)
+        cx, cy = float(seq.intrinsics.cx), float(seq.intrinsics.cy)
+        pts = np.stack(
+            [(u - cx) / fx * d, (v - cy) / fy * d, d], axis=-1
+        ).astype(np.float32)[::7]
+        offset = np.asarray([0.15, -0.08, 0.12], np.float32)  # lost
+        moved = jnp.asarray(pts + offset)
+        blind = rigid_depth_alignment(
+            moved, jnp.ones(len(pts), bool), depth, seq.intrinsics,
+            iters=8, max_depth_diff=0.05, coarse_init=False,
+        )
+        # the old behavior: no overlap at identity, nothing recovered,
+        # and the degenerate 0.0 initial residual that used to read as
+        # "healthy"
+        assert float(blind.initial_inlier_fraction) < 0.05
+        assert float(blind.initial_residual) == 0.0
+        assert float(blind.inlier_fraction) < 0.2
+        align = rigid_depth_alignment(
+            moved, jnp.ones(len(pts), bool), depth, seq.intrinsics,
+            iters=8, max_depth_diff=0.05, coarse_init=True,
+        )
+        assert float(align.inlier_fraction) > 0.8
+        rec_t = np.asarray(align.translation)
+        rec_R = np.asarray(align.rotation)
+        center = np.asarray([0.0, 0.0, 1.0], np.float32)
+        mapped = rec_R @ (center + offset) + rec_t
+        np.testing.assert_allclose(mapped, center, atol=3e-3)
+
+    def test_healthy_pose_unaffected_by_coarse_init(self):
+        """coarse_init must be a no-op when the identity pose already
+        overlaps (loop-closure measurements between nearby keyframes)."""
+        seq, _ = make_sequence(n_frames=1, step=(0.0, 0.0, 0.0))
+        frame = seq.load(0)
+        depth = jnp.asarray(frame.depth)
+        v, u = np.nonzero(frame.depth > 0)
+        d = frame.depth[v, u]
+        fx, fy = float(seq.intrinsics.fx), float(seq.intrinsics.fy)
+        cx, cy = float(seq.intrinsics.cx), float(seq.intrinsics.cy)
+        pts = np.stack(
+            [(u - cx) / fx * d, (v - cy) / fy * d, d], axis=-1
+        ).astype(np.float32)[::7]
+        moved = jnp.asarray(pts + np.asarray([0.003, 0.0, 0.006], np.float32))
+        a1 = rigid_depth_alignment(
+            moved, jnp.ones(len(pts), bool), depth, seq.intrinsics,
+            iters=8, max_depth_diff=0.05, coarse_init=False,
+        )
+        a2 = rigid_depth_alignment(
+            moved, jnp.ones(len(pts), bool), depth, seq.intrinsics,
+            iters=8, max_depth_diff=0.05, coarse_init=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a1.translation), np.asarray(a2.translation),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a1.rotation), np.asarray(a2.rotation), atol=1e-6
+        )
+
 
 class TestPoseGraphInLoop:
     def _fusion(self):
