@@ -43,6 +43,13 @@ scripts/probe_param_upload.py):
   +flow(dense) 20.06; FULL loop 18.68; FULL with
   BENCH_FLOW_LIFT=sparse BENCH_FLOW_BF16=1 BENCH_MASK_DS=2 = 24.03,
   + BENCH_FLOW_DS=2 = 25.72 (cap 512: 19.01).
+
+The ACCURACY-VALIDATED full-perception headline (every lever in it has
+a no-cost matrix row in docs/EVAL_MATRIX.md — flow_ds2 is excluded
+because the matrix showed it costs 2x ATE on arms):
+  ...opt levers above (no FLOW_DS) + BENCH_LEPARD_SUBSAMPLE=strided
+  BENCH_GN_ITERS=2  -> 33.32 fps (gn3: 28.05); recipe in
+  scripts/probe_r4_final2.sh, matrix rows limbs5_gn2/arms_gn2.
 """
 
 import json

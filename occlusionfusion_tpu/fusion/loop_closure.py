@@ -58,6 +58,11 @@ def rigid_depth_alignment(
     coarse_init: bool = True,
     coarse_inlier_threshold: float = 0.25,
     coarse_band: float = 0.25,
+    feat_init: tuple | None = None,  # optional (R [3,3], t [3]) feature
+    # pose (e.g. Kabsch over Lepard matches) used INSTEAD of the
+    # centroid translation as the lost-state recovery start — a
+    # feature pose carries rotation, which geometric centroid init
+    # cannot (the revisit clip's surface-identity caveat)
 ) -> RigidAlignment:
     """Estimate the rigid (R, t) mapping ``points`` onto the surface
     observed in ``depth_im``: iterate projective association and
@@ -135,9 +140,14 @@ def rigid_depth_alignment(
             jnp.sum(pw), 1.0
         )
         lost = (frac0 < coarse_inlier_threshold) & (jnp.sum(obs_ok) > 0)
+        start_R = init_R
         start_t = jnp.where(lost, obs_c - pts_c, 0.0)
+        if feat_init is not None:
+            fR, ft = feat_init
+            start_R = jnp.where(lost, fR, start_R)
+            start_t = jnp.where(lost, ft, start_t)
         (cR, ct), _ = jax.lax.scan(
-            make_step(coarse_band), (init_R, start_t), None, length=iters
+            make_step(coarse_band), (start_R, start_t), None, length=iters
         )
         # adopt the recovery pose only when lost — a healthy start keeps
         # the identity init and the wide-band rounds are discarded

@@ -162,6 +162,13 @@ class FusionConfig:
     # inlier fraction a recovered pose must reach to be adopted
     relocalize_min_obs_px: int = 400
     relocalize_recover_inliers: float = 0.5
+    # feature-based recovery: when the matcher is configured, a Kabsch
+    # pose over its (coherence-filtered) blended scene flow seeds the
+    # wide-baseline recovery ICP — carrying ROTATION, which geometric
+    # centroid init cannot (the revisit clip's surface-identity
+    # caveat). Requires at least this many blended-flow points to
+    # trust the feature pose; 0 disables.
+    relocalize_feat_min_points: int = 50
     # skip re-anchoring when the pose-graph correction is below this
     # (rotation angle rad + translation m)
     min_correction: float = 1e-4
@@ -909,6 +916,44 @@ class DynamicFusion:
             n_obs = int(np.count_nonzero(np.asarray(kf["depth"]) > 0))
             if n_obs < cfg.relocalize_min_obs_px:
                 return 0.0
+        # feature-based recovery seed: the matcher's blended scene flow
+        # gives a rigid (Kabsch) pose hypothesis that carries ROTATION —
+        # centroid init cannot, and a lost pose re-acquired with the
+        # wrong orientation puts the model on the surface with the wrong
+        # identity (docs/EVAL_MATRIX.md regime-3 caveat). Geometric ICP
+        # then refines from the feature pose.
+        feat_init = None
+        if (
+            recovering
+            and self.lepard_params is not None
+            and cfg.relocalize_feat_min_points > 0
+        ):
+            from occlusionfusion_tpu.fusion.fused_step import (
+                _deterministic_target_subsample,
+            )
+            from occlusionfusion_tpu.geometry.kabsch import weighted_kabsch
+            from occlusionfusion_tpu.models.lepard import scene_flow
+
+            tgt_pcd, tgt_valid = _deterministic_target_subsample(
+                jnp.asarray(kf["depth"]), self.intr,
+                self.config.lepard_max_target_points,
+                method=self.config.lepard_subsample,
+            )
+            flow, fmask, _ = scene_flow(
+                self.lepard_params,
+                self.lepard_config,
+                deformed_pts,
+                pvalid,
+                jnp.asarray(tgt_pcd),
+                jnp.asarray(tgt_valid),
+            )
+            if int(jnp.sum(fmask)) >= cfg.relocalize_feat_min_points:
+                fR, ft = weighted_kabsch(
+                    deformed_pts,
+                    deformed_pts + flow,
+                    weights=fmask.astype(jnp.float32),
+                )
+                feat_init = (fR, ft)
         align = rigid_depth_alignment(
             deformed_pts,
             pvalid,
@@ -917,6 +962,7 @@ class DynamicFusion:
             iters=cfg.loop_align_iters,
             max_depth_diff=cfg.max_depth_diff,
             coarse_init=recovering,
+            feat_init=feat_init,
         )
         # a fully-lost pose has ~zero INITIAL inliers and its masked
         # median initial_residual degenerates to 0.0 — which used to

@@ -37,6 +37,26 @@ class LepardConfig(NamedTuple):
     # encoder chain is latency-bound on TPU (many small kernels), so
     # kernel count, not FLOPs, is its cost
     batched_encode: bool = False
+    # motion-coherence filter on matched anchors (0.0 disables): each
+    # matched anchor's canonical-space flow is compared to the
+    # component-wise median flow of its coherence_knn nearest matched
+    # anchors (self included — a k+1 median is robust to the self being
+    # the outlier); anchors deviating by more than coherence_tau
+    # (canonical units, i.e. scale-free under normalize_radius) are
+    # invalidated before blending. Targets the diagnosed arms-regime
+    # failure: confident matches that bridge crossing limbs are
+    # geometrically nearest but semantically wrong, so their implied
+    # motion is wildly inconsistent with their spatial neighborhood.
+    coherence_tau: float = 0.0
+    coherence_knn: int = 4
+    # deviation allowance scales with the local flow SPREAD (median
+    # absolute deviation of the neighborhood): a rotating limb has a
+    # large smooth flow gradient (large MAD — genuine matches deviate
+    # from the local median by about the gradient scale and must
+    # survive), while a bridge into a coherently-moving other limb has
+    # tiny neighborhood MAD and a huge deviation. Threshold is
+    # tau + coherence_mad * MAD.
+    coherence_mad: float = 3.0
 
 
 def init_lepard_params(key, config: LepardConfig = LepardConfig()):
@@ -133,6 +153,50 @@ def lepard_match(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("knn",))
+def motion_coherence_filter(
+    anchor_points: jnp.ndarray,  # [S, 3]
+    anchor_flows: jnp.ndarray,  # [S, 3]
+    valid: jnp.ndarray,  # [S]
+    knn: int = 4,
+    tau: float = 0.08,
+    mad_mult: float = 3.0,
+):
+    """Invalidate matched anchors whose flow disagrees with the
+    component-wise median flow of their ``knn`` nearest valid anchors
+    (self included) by more than ``tau + mad_mult * MAD`` (MAD = median
+    neighbor deviation from that median — the local flow spread, so
+    smooth high-gradient motion like in-plane rotation is never pruned
+    while an isolated bridge into a coherent region is).
+
+    The reference prunes matches only by confidence
+    (``lepard/models/matching.py`` dual-softmax threshold +
+    mutual-NN); a match that bridges two crossing limbs can be both
+    mutual and confident, yet its implied motion is an extreme local
+    outlier — exactly what a robust (median) neighborhood test
+    rejects while leaving genuine articulation (smooth within a limb,
+    discontinuous only across the thin joint boundary) intact.
+
+    Anchors with fewer than ``(knn+1)//2`` valid neighbors keep their
+    prior validity (no quorum → no opinion). Returns the refined
+    valid mask [S]."""
+    d2, idx = knn_lax(anchor_points, anchor_points, k=knn + 1, valid=valid)
+    del d2
+    nb_ok = valid[idx]  # [S, k+1]
+    # invalid neighbor slots contribute the anchor's own flow — neutral
+    # for the deviation test, keeps the median shape static
+    nb_flows = jnp.where(
+        nb_ok[..., None], anchor_flows[idx], anchor_flows[:, None, :]
+    )
+    med = jnp.median(nb_flows, axis=1)  # [S, 3]
+    dev = jnp.linalg.norm(anchor_flows - med, axis=-1)
+    mad = jnp.median(
+        jnp.linalg.norm(nb_flows - med[:, None, :], axis=-1), axis=1
+    )
+    quorum = jnp.sum(nb_ok, axis=1) > (knn + 1) // 2
+    return valid & ((dev <= tau + mad_mult * mad) | ~quorum)
+
+
 @functools.partial(jax.jit, static_argnames=("knn", "radius"))
 def blend_anchor_motion(
     query_points: jnp.ndarray,  # [Q, 3] model vertices
@@ -195,6 +259,17 @@ def scene_flow(
     src_n = (source_points - center) * scale
     tgt_n = (target_points - center) * scale
     m = lepard_match(params, config, src_n, source_valid, tgt_n, target_valid)
+    match_valid = m.match_valid
+    if config.coherence_tau > 0.0:
+        # filter in CANONICAL space: tau is scale-free there
+        match_valid = motion_coherence_filter(
+            m.src_points,
+            m.tgt_points[m.match_tgt] - m.src_points,
+            match_valid,
+            knn=config.coherence_knn,
+            tau=config.coherence_tau,
+            mad_mult=config.coherence_mad,
+        )
     # matching ran at canonical scale; blending happens back in METRIC
     # space so ``blend_radius`` keeps the reference's contract (within
     # 0.1 m — ``lepard/models/loss.py:282``) regardless of scene scale
@@ -204,8 +279,10 @@ def scene_flow(
         source_points,
         anchor_pos,
         anchor_flow,
-        m.match_valid,
+        match_valid,
         knn=config.blend_knn,
         radius=config.blend_radius,
     )
-    return flow, mask & source_valid, m
+    # surface the refined validity (callers consume matches for e.g.
+    # feature-pose recovery; they must see the coherence filter's work)
+    return flow, mask & source_valid, m._replace(match_valid=match_valid)

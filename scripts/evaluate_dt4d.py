@@ -117,6 +117,16 @@ def main():
                          "confidence threshold (higher = fewer, more "
                          "confident anchors — the articulated-regime "
                          "robustness knob)")
+    ap.add_argument("--lepard_reloc_only", action="store_true",
+                    help="load the matcher ONLY for feature-based "
+                         "track-loss recovery (relocalization seed); "
+                         "the per-frame tracking loop stays matcher-"
+                         "free, isolating the recovery A/B")
+    ap.add_argument("--lepard_coherence", type=float, default=None,
+                    help="enable the motion-coherence match filter with "
+                         "this tau (canonical units; anchors whose flow "
+                         "deviates from the local median by more are "
+                         "dropped — the crossing-limbs robustness knob)")
     ap.add_argument("--lepard_every", type=int, default=1,
                     help="run the matcher every K-th frame (cadence "
                          "accuracy A/B for the fused engine's "
@@ -258,6 +268,10 @@ def main():
             lepard_config = lepard_config._replace(
                 match_threshold=args.lepard_threshold
             )
+        if args.lepard_coherence is not None:
+            lepard_config = lepard_config._replace(
+                coherence_tau=args.lepard_coherence
+            )
         args.stepwise = True  # learned scene flow runs in the stepwise loop
     flow_params = mask_params = None
     if args.flow_weights:
@@ -296,7 +310,7 @@ def main():
                 w_motion=1.0 if args.use_motion_model else 0.0,
             )
         ),
-        use_lepard=lepard_params is not None,
+        use_lepard=lepard_params is not None and not args.lepard_reloc_only,
         lepard_every=args.lepard_every,
         lepard_subsample=args.lepard_subsample,
         use_flow=flow_params is not None,

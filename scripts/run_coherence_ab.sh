@@ -1,0 +1,26 @@
+#!/bin/sh
+# Motion-coherence filter tau ladder (round 4): can lepard_fine_r4 (best
+# tangential matcher, regime-fragile on arms) be made robust by pruning
+# motion-incoherent matches? Rows land in results/eval_matrix/ next to
+# the round-4 matrix.
+set -u
+cd "$(dirname "$0")/.."
+OUT=results/eval_matrix
+run() {
+  name="$1"; shift
+  echo "===== $name ====="
+  t0=$(date +%s)
+  nice -n 15 timeout 1800 python scripts/evaluate_dt4d.py --synthetic \
+    --out "$OUT/$name.json" "$@" 2>&1 | tail -2
+  echo "[wall $(( $(date +%s) - t0 )) s]"
+}
+FINE="--lepard_weights checkpoints/lepard_fine_r4.npz"
+R2="--shape arms --stepwise --frames 12"
+run arms_fine_r4_coh0.03 $R2 $FINE --lepard_coherence 0.03
+run arms_fine_r4_coh0.06 $R2 $FINE --lepard_coherence 0.06
+run arms_fine_r4_coh0.12 $R2 $FINE --lepard_coherence 0.12
+R1="--shape limbs --rotate_deg 5 --stepwise --frames 12"
+run limbs5_fine_r4_coh0.03 $R1 $FINE --lepard_coherence 0.03
+run limbs5_fine_r4_coh0.06 $R1 $FINE --lepard_coherence 0.06
+run limbs5_fine_r4_coh0.12 $R1 $FINE --lepard_coherence 0.12
+echo "===== coherence ladder done ====="

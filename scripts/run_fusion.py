@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--lepard_every", type=int, default=1,
                     help="run the matcher every K-th frame (lax.cond "
                          "cadence in the fused engine)")
+    ap.add_argument("--lepard_coherence", type=float, default=None,
+                    help="enable the motion-coherence match filter with "
+                         "this tau (canonical units)")
     ap.add_argument("--flow_lift", default="dense",
                     choices=("dense", "sparse"),
                     help="flow lift: dense [H,W] fields or sparse "
@@ -140,6 +143,10 @@ def main():
         lepard_params, lepard_config = load_lepard_checkpoint(
             args.lepard_weights
         )
+        if args.lepard_coherence is not None:
+            lepard_config = lepard_config._replace(
+                coherence_tau=args.lepard_coherence
+            )
 
     flow_params = mask_params = None
     if args.flow_weights:

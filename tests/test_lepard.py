@@ -267,6 +267,101 @@ class TestLepardEndToEnd:
         assert bool(mask[0]) and not bool(mask[1])
 
 
+class TestMotionCoherenceFilter:
+    def _grid(self, n=6, spacing=0.05):
+        xs = np.arange(n) * spacing
+        g = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
+        pts = np.concatenate([g, np.zeros((g.shape[0], 1))], -1)
+        return pts.astype(np.float32)
+
+    def test_outlier_rejected_smooth_kept(self):
+        from occlusionfusion_tpu.models.lepard import motion_coherence_filter
+
+        pts = self._grid()
+        flows = np.tile([0.02, 0.0, 0.0], (pts.shape[0], 1)).astype(
+            np.float32
+        )
+        flows[7] = [0.0, 0.0, 0.3]  # bridge-like outlier
+        valid = np.ones(pts.shape[0], bool)
+        out = motion_coherence_filter(
+            jnp.asarray(pts), jnp.asarray(flows), jnp.asarray(valid),
+            knn=4, tau=0.08,
+        )
+        out = np.asarray(out)
+        assert not out[7]
+        keep = np.ones_like(valid)
+        keep[7] = False
+        assert out[keep].all()
+
+    def test_articulated_boundary_survives(self):
+        # two rigid halves with moderately different flows: a smooth
+        # articulation must NOT be pruned (deviation at the boundary is
+        # the inter-part flow difference, below tau)
+        from occlusionfusion_tpu.models.lepard import motion_coherence_filter
+
+        pts = self._grid()
+        flows = np.where(
+            pts[:, :1] < 0.14, [0.02, 0.0, 0.0], [0.0, 0.03, 0.0]
+        ).astype(np.float32)
+        valid = np.ones(pts.shape[0], bool)
+        out = motion_coherence_filter(
+            jnp.asarray(pts), jnp.asarray(flows), jnp.asarray(valid),
+            knn=4, tau=0.08,
+        )
+        assert np.asarray(out).all()
+
+    def test_rotational_gradient_survives_small_tau(self):
+        # in-plane rotation: flow = omega x r has a large smooth local
+        # gradient; the MAD-scaled allowance must keep every match even
+        # with a tau far below the flow magnitude (the limbs-regime
+        # failure of a pure absolute threshold)
+        from occlusionfusion_tpu.models.lepard import motion_coherence_filter
+
+        pts = self._grid(n=8, spacing=0.06)
+        c = pts.mean(0)
+        r = pts - c
+        flows = 0.09 * np.stack(  # ~5 deg/frame at canonical radius
+            [-r[:, 1], r[:, 0], np.zeros(len(r))], -1
+        ).astype(np.float32)
+        valid = np.ones(pts.shape[0], bool)
+        out = motion_coherence_filter(
+            jnp.asarray(pts), jnp.asarray(flows), jnp.asarray(valid),
+            knn=4, tau=0.001, mad_mult=3.0,
+        )
+        assert np.asarray(out).all()
+        # the same tau WITHOUT the MAD allowance prunes the field —
+        # proving the allowance (not the floor) is what saves rotation
+        out_abs = motion_coherence_filter(
+            jnp.asarray(pts), jnp.asarray(flows), jnp.asarray(valid),
+            knn=4, tau=0.001, mad_mult=0.0,
+        )
+        assert not np.asarray(out_abs).all()
+
+    def test_invalid_neighbors_neutral_and_quorum(self):
+        from occlusionfusion_tpu.models.lepard import motion_coherence_filter
+
+        pts = self._grid()
+        flows = np.tile([0.02, 0.0, 0.0], (pts.shape[0], 1)).astype(
+            np.float32
+        )
+        valid = np.zeros(pts.shape[0], bool)
+        valid[0] = valid[1] = True  # below quorum everywhere
+        out = motion_coherence_filter(
+            jnp.asarray(pts), jnp.asarray(flows), jnp.asarray(valid),
+            knn=4, tau=1e-6,
+        )
+        # no quorum -> validity passes through even with a tiny tau
+        np.testing.assert_array_equal(np.asarray(out), valid)
+
+    def test_scene_flow_coherence_config(self):
+        # config plumbing: tau>0 must prune a planted bridge anchor's
+        # influence on blended flow
+        cfg = LepardConfig()
+        assert cfg.coherence_tau == 0.0  # default off
+        cfg_on = cfg._replace(coherence_tau=0.08)
+        assert cfg_on.coherence_tau > 0.0
+
+
 class TestSinkhornDustbin:
     def test_dustbin_absorbs_unmatched(self):
         import jax.numpy as jnp

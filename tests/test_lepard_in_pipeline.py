@@ -34,6 +34,38 @@ def test_pipeline_with_lepard_source():
     assert np.isfinite(info["final_loss"])
 
 
+def test_feature_recovery_seed_runs():
+    """Wiring test: a track-lost relocalization with the matcher loaded
+    RELOC-ONLY (use_lepard False) computes the feature Kabsch seed and
+    completes (random-init weights — plumbing, not accuracy)."""
+    seq, _ = make_sequence(n_frames=3)
+    cfg = small_config()
+    cfg.use_lepard = False  # matcher only seeds recovery
+    cfg.keyframe_interval = 1
+    cfg.lepard_max_target_points = 1024
+    cfg.relocalize_feat_min_points = 1
+    cfg.relocalize_min_obs_px = 1
+    lep_cfg = LepardConfig(
+        kpfcn=K.KPFCNConfig(
+            pyramid=K.PyramidConfig(
+                level_sizes=(512, 128, 64, 32), first_voxel=0.03
+            )
+        ),
+        match_threshold=0.0,
+        coherence_tau=0.1,  # exercise the filter in the recovery path
+    )
+    params = init_lepard_params(jax.random.PRNGKey(0), lep_cfg)
+    fusion = DynamicFusion(
+        seq, cfg, lepard_params=params, lepard_config=lep_cfg
+    )
+    fusion.initialize(seq.load(0))
+    fusion.register_frame(seq.load(1))
+    assert fusion.keyframes, "fixture must produce a keyframe"
+    fusion.track_lost = True
+    mag = fusion._relocalize(fusion.keyframes[-1])
+    assert np.isfinite(mag)
+
+
 def test_pipeline_with_flow_source():
     """Wiring test: the PWC-flow correspondence source runs inside the
     fusion loop (random-init weights)."""

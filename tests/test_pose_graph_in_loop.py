@@ -83,6 +83,59 @@ class TestRigidDepthAlignment:
         mapped = rec_R @ (center + offset) + rec_t
         np.testing.assert_allclose(mapped, center, atol=3e-3)
 
+    def test_feat_init_seeds_lost_recovery(self):
+        """A feature pose (e.g. Kabsch over matcher flow) passed as
+        feat_init replaces the centroid start for a LOST pose — here the
+        exact inverse offset, which must recover at least as well as
+        centroid init — and is IGNORED for a healthy pose (a garbage
+        feature pose must not perturb a fine alignment)."""
+        seq, _ = make_sequence(n_frames=1, step=(0.0, 0.0, 0.0))
+        frame = seq.load(0)
+        depth = jnp.asarray(frame.depth)
+        v, u = np.nonzero(frame.depth > 0)
+        d = frame.depth[v, u]
+        fx, fy = float(seq.intrinsics.fx), float(seq.intrinsics.fy)
+        cx, cy = float(seq.intrinsics.cx), float(seq.intrinsics.cy)
+        pts = np.stack(
+            [(u - cx) / fx * d, (v - cy) / fy * d, d], axis=-1
+        ).astype(np.float32)[::7]
+        offset = np.asarray([0.15, -0.08, 0.12], np.float32)  # lost
+        moved = jnp.asarray(pts + offset)
+        feat = (jnp.eye(3), jnp.asarray(-offset))
+        align = rigid_depth_alignment(
+            moved, jnp.ones(len(pts), bool), depth, seq.intrinsics,
+            iters=8, max_depth_diff=0.05, coarse_init=True,
+            feat_init=feat,
+        )
+        assert float(align.inlier_fraction) > 0.8
+        center = np.asarray([0.0, 0.0, 1.0], np.float32)
+        mapped = (
+            np.asarray(align.rotation) @ (center + offset)
+            + np.asarray(align.translation)
+        )
+        np.testing.assert_allclose(mapped, center, atol=3e-3)
+
+        # healthy pose: garbage feature rotation must be ignored
+        near = jnp.asarray(pts + np.asarray([0.003, 0.0, 0.006], np.float32))
+        flip = jnp.asarray(np.diag([1.0, -1.0, -1.0]).astype(np.float32))
+        a_ref = rigid_depth_alignment(
+            near, jnp.ones(len(pts), bool), depth, seq.intrinsics,
+            iters=8, max_depth_diff=0.05, coarse_init=True,
+        )
+        a_feat = rigid_depth_alignment(
+            near, jnp.ones(len(pts), bool), depth, seq.intrinsics,
+            iters=8, max_depth_diff=0.05, coarse_init=True,
+            feat_init=(flip, jnp.zeros(3)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_ref.translation), np.asarray(a_feat.translation),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_ref.rotation), np.asarray(a_feat.rotation),
+            atol=1e-6,
+        )
+
     def test_healthy_pose_unaffected_by_coarse_init(self):
         """coarse_init must be a no-op when the identity pose already
         overlaps (loop-closure measurements between nearby keyframes)."""
