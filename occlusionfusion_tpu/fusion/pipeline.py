@@ -726,6 +726,9 @@ class DynamicFusion:
         ):
             self._record_keyframe(frame)
             info["pose_correction"] = self._relocalize(self.keyframes[-1])
+            info["reloc_feat_matches"] = getattr(
+                self, "reloc_feat_matches", -1
+            )
             info["loop_closures"] = self._pose_graph_update()
         return info
 
@@ -923,6 +926,7 @@ class DynamicFusion:
         # identity (docs/EVAL_MATRIX.md regime-3 caveat). Geometric ICP
         # then refines from the feature pose.
         feat_init = None
+        self.reloc_feat_matches = -1  # trace: -1 = path not taken
         if (
             recovering
             and self.lepard_params is not None
@@ -947,7 +951,9 @@ class DynamicFusion:
                 jnp.asarray(tgt_pcd),
                 jnp.asarray(tgt_valid),
             )
-            if int(jnp.sum(fmask)) >= cfg.relocalize_feat_min_points:
+            n_feat = int(jnp.sum(fmask))
+            self.reloc_feat_matches = n_feat
+            if n_feat >= cfg.relocalize_feat_min_points:
                 fR, ft = weighted_kabsch(
                     deformed_pts,
                     deformed_pts + flow,
@@ -1380,6 +1386,9 @@ class DynamicFusion:
                 self._record_keyframe(frames[-1])
                 infos[-1]["pose_correction"] = self._relocalize(
                     self.keyframes[-1]
+                )
+                infos[-1]["reloc_feat_matches"] = getattr(
+                    self, "reloc_feat_matches", -1
                 )
                 infos[-1]["loop_closures"] = self._pose_graph_update()
                 # re-anchoring may have rigidly corrected the warp;

@@ -178,5 +178,10 @@ def load_lepard_checkpoint(npz_path: str):
         match_threshold=d["match_threshold"],
         blend_knn=d["blend_knn"],
         blend_radius=d["blend_radius"],
+        # optional (older side-cars predate them): a checkpoint can ship
+        # its recommended motion-coherence filter setting
+        coherence_tau=d.get("coherence_tau", 0.0),
+        coherence_knn=d.get("coherence_knn", 4),
+        coherence_mad=d.get("coherence_mad", 3.0),
     )
     return params, config

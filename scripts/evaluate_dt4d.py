@@ -127,6 +127,10 @@ def main():
                          "this tau (canonical units; anchors whose flow "
                          "deviates from the local median by more are "
                          "dropped — the crossing-limbs robustness knob)")
+    ap.add_argument("--lepard_coherence_mad", type=float, default=None,
+                    help="override the MAD multiplier of the coherence "
+                         "threshold tau + mad*MAD (0 = pure absolute "
+                         "tau; default 3)")
     ap.add_argument("--lepard_every", type=int, default=1,
                     help="run the matcher every K-th frame (cadence "
                          "accuracy A/B for the fused engine's "
@@ -271,6 +275,10 @@ def main():
         if args.lepard_coherence is not None:
             lepard_config = lepard_config._replace(
                 coherence_tau=args.lepard_coherence
+            )
+        if args.lepard_coherence_mad is not None:
+            lepard_config = lepard_config._replace(
+                coherence_mad=args.lepard_coherence_mad
             )
         args.stepwise = True  # learned scene flow runs in the stepwise loop
     flow_params = mask_params = None

@@ -1,8 +1,8 @@
 #!/bin/sh
-# Motion-coherence filter tau ladder (round 4): can lepard_fine_r4 (best
-# tangential matcher, regime-fragile on arms) be made robust by pruning
-# motion-incoherent matches? Rows land in results/eval_matrix/ next to
-# the round-4 matrix.
+# Motion-coherence filter ladder (round 4, MAD-scaled semantics of
+# commit 1d065b9): threshold = tau + 3*MAD. Can lepard_fine_r4 (best
+# tangential matcher, regime-fragile on arms) win/tie BOTH regimes?
+# Rows land in results/eval_matrix/ next to the round-4 matrix.
 set -u
 cd "$(dirname "$0")/.."
 OUT=results/eval_matrix
@@ -16,11 +16,11 @@ run() {
 }
 FINE="--lepard_weights checkpoints/lepard_fine_r4.npz"
 R2="--shape arms --stepwise --frames 12"
-run arms_fine_r4_coh0.03 $R2 $FINE --lepard_coherence 0.03
-run arms_fine_r4_coh0.06 $R2 $FINE --lepard_coherence 0.06
-run arms_fine_r4_coh0.12 $R2 $FINE --lepard_coherence 0.12
+run arms_fine_r4_cohm0.01 $R2 $FINE --lepard_coherence 0.01
+run arms_fine_r4_cohm0.02 $R2 $FINE --lepard_coherence 0.02
+run arms_fine_r4_cohm0.04 $R2 $FINE --lepard_coherence 0.04
 R1="--shape limbs --rotate_deg 5 --stepwise --frames 12"
-run limbs5_fine_r4_coh0.03 $R1 $FINE --lepard_coherence 0.03
-run limbs5_fine_r4_coh0.06 $R1 $FINE --lepard_coherence 0.06
-run limbs5_fine_r4_coh0.12 $R1 $FINE --lepard_coherence 0.12
+run limbs5_fine_r4_cohm0.01 $R1 $FINE --lepard_coherence 0.01
+run limbs5_fine_r4_cohm0.02 $R1 $FINE --lepard_coherence 0.02
+run limbs5_fine_r4_cohm0.04 $R1 $FINE --lepard_coherence 0.04
 echo "===== coherence ladder done ====="
