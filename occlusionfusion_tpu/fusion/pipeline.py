@@ -167,8 +167,11 @@ class FusionConfig:
     # wide-baseline recovery ICP — carrying ROTATION, which geometric
     # centroid init cannot (the revisit clip's surface-identity
     # caveat). Requires at least this many blended-flow points to
-    # trust the feature pose; 0 disables.
-    relocalize_feat_min_points: int = 50
+    # trust the feature pose. Default 0 = OFF (opt-in): measured as a
+    # net negative with current matchers (final-frame EPE 311.8 vs
+    # 278.0 mm geometric-only, docs/EVAL_MATRIX.md regime 3) — the
+    # documented ships-default-off decision.
+    relocalize_feat_min_points: int = 0
     # skip re-anchoring when the pose-graph correction is below this
     # (rotation angle rad + translation m)
     min_correction: float = 1e-4
@@ -930,6 +933,7 @@ class DynamicFusion:
         if (
             recovering
             and self.lepard_params is not None
+            and self.lepard_config is not None
             and cfg.relocalize_feat_min_points > 0
         ):
             from occlusionfusion_tpu.fusion.fused_step import (

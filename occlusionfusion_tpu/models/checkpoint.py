@@ -182,6 +182,9 @@ def load_lepard_checkpoint(npz_path: str):
         # its recommended motion-coherence filter setting
         coherence_tau=d.get("coherence_tau", 0.0),
         coherence_knn=d.get("coherence_knn", 4),
-        coherence_mad=d.get("coherence_mad", 3.0),
+        # fallback 0.0 = the validated absolute-tau variant; a side-car
+        # that predates the coherence fields must NOT silently enable
+        # the in-loop-failing MAD-scaled allowance (advisor r4)
+        coherence_mad=d.get("coherence_mad", 0.0),
     )
     return params, config

@@ -50,13 +50,14 @@ class LepardConfig(NamedTuple):
     coherence_tau: float = 0.0
     coherence_knn: int = 4
     # deviation allowance scales with the local flow SPREAD (median
-    # absolute deviation of the neighborhood): a rotating limb has a
-    # large smooth flow gradient (large MAD — genuine matches deviate
-    # from the local median by about the gradient scale and must
-    # survive), while a bridge into a coherently-moving other limb has
-    # tiny neighborhood MAD and a huge deviation. Threshold is
-    # tau + coherence_mad * MAD.
-    coherence_mad: float = 3.0
+    # absolute deviation of the neighborhood): threshold is
+    # tau + coherence_mad * MAD. Default 0.0 (pure absolute tau): the
+    # MAD-scaled allowance passes rotational unit tests but FAILS
+    # in-loop on the arms regime (bridge clusters inflate their own
+    # MAD — ATE 47.4 vs 27.8 at tau 0.01; docs/EVAL_MATRIX.md
+    # conclusion 5), so the validated absolute variant is the default
+    # and MAD scaling is opt-in.
+    coherence_mad: float = 0.0
 
 
 def init_lepard_params(key, config: LepardConfig = LepardConfig()):
@@ -160,7 +161,7 @@ def motion_coherence_filter(
     valid: jnp.ndarray,  # [S]
     knn: int = 4,
     tau: float = 0.08,
-    mad_mult: float = 3.0,
+    mad_mult: float = 0.0,
 ):
     """Invalidate matched anchors whose flow disagrees with the
     component-wise median flow of their ``knn`` nearest valid anchors
@@ -177,24 +178,43 @@ def motion_coherence_filter(
     rejects while leaving genuine articulation (smooth within a limb,
     discontinuous only across the thin joint boundary) intact.
 
-    Anchors with fewer than ``(knn+1)//2`` valid neighbors keep their
-    prior validity (no quorum → no opinion). Returns the refined
+    Anchors with ``(knn+1)//2`` or fewer valid neighbor slots keep
+    their prior validity (no quorum → no opinion). Returns the refined
     valid mask [S]."""
     d2, idx = knn_lax(anchor_points, anchor_points, k=knn + 1, valid=valid)
     del d2
     nb_ok = valid[idx]  # [S, k+1]
-    # invalid neighbor slots contribute the anchor's own flow — neutral
-    # for the deviation test, keeps the median shape static
-    nb_flows = jnp.where(
-        nb_ok[..., None], anchor_flows[idx], anchor_flows[:, None, :]
-    )
-    med = jnp.median(nb_flows, axis=1)  # [S, 3]
+    nb_flows = anchor_flows[idx]  # [S, k+1, 3]
+    # MASKED median over valid slots only. Substituting the anchor's
+    # own flow for invalid slots is not neutral: with few valid anchors
+    # globally, the self flow occupies the majority of slots, the
+    # median collapses onto the tested anchor, and an outlier is
+    # guaranteed to pass while still meeting quorum (advisor r4).
+    med = _masked_median(nb_flows, nb_ok[..., None] & jnp.ones(
+        (1, 1, 3), bool), axis=1)  # [S, 3]
     dev = jnp.linalg.norm(anchor_flows - med, axis=-1)
-    mad = jnp.median(
-        jnp.linalg.norm(nb_flows - med[:, None, :], axis=-1), axis=1
-    )
+    nb_dev = jnp.linalg.norm(nb_flows - med[:, None, :], axis=-1)
+    mad = _masked_median(nb_dev, nb_ok, axis=1)
     quorum = jnp.sum(nb_ok, axis=1) > (knn + 1) // 2
     return valid & ((dev <= tau + mad_mult * mad) | ~quorum)
+
+
+def _masked_median(x: jnp.ndarray, mask: jnp.ndarray, axis: int):
+    """Median of ``x`` over ``axis`` counting only ``mask``-True slots
+    (static-shape: sort with invalid slots pushed to +inf, then gather
+    the per-row middle element(s) by valid count). Rows with zero valid
+    slots return 0."""
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    xs = jnp.sort(jnp.where(mask, x, big), axis=axis)
+    cnt = jnp.sum(mask, axis=axis)  # [... ] per-row valid count
+    lo = jnp.maximum((cnt - 1) // 2, 0)
+    hi = jnp.maximum(cnt // 2, 0)
+    mlo = jnp.take_along_axis(xs, jnp.expand_dims(lo, axis), axis=axis)
+    mhi = jnp.take_along_axis(xs, jnp.expand_dims(hi, axis), axis=axis)
+    med = 0.5 * (mlo + mhi)
+    return jnp.squeeze(
+        jnp.where(jnp.expand_dims(cnt, axis) > 0, med, 0.0), axis=axis
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("knn", "radius"))

@@ -82,6 +82,10 @@ def main():
     ap.add_argument("--lepard_coherence", type=float, default=None,
                     help="enable the motion-coherence match filter with "
                          "this tau (canonical units)")
+    ap.add_argument("--lepard_coherence_mad", type=float, default=None,
+                    help="MAD multiplier for the coherence allowance "
+                         "(tau + mad*MAD); 0 = absolute tau (the "
+                         "in-loop-validated variant)")
     ap.add_argument("--flow_lift", default="dense",
                     choices=("dense", "sparse"),
                     help="flow lift: dense [H,W] fields or sparse "
@@ -146,6 +150,10 @@ def main():
         if args.lepard_coherence is not None:
             lepard_config = lepard_config._replace(
                 coherence_tau=args.lepard_coherence
+            )
+        if args.lepard_coherence_mad is not None:
+            lepard_config = lepard_config._replace(
+                coherence_mad=args.lepard_coherence_mad
             )
 
     flow_params = mask_params = None
