@@ -69,12 +69,46 @@ def projective_correspondences(
         targets = jnp.where(valid[:, None], targets, deformed_points)
         return targets, valid
 
+    targets, dvalid = depth_association_at_pixels(
+        u, v, z, depth_im, intr, max_depth_diff
+    )
+    valid = point_valid & ok & dvalid
+    targets = jnp.where(valid[:, None], targets, deformed_points)
+    return targets, valid
+
+
+def depth_association_at_pixels(
+    u: jnp.ndarray,  # [P] query pixel x (continuous)
+    v: jnp.ndarray,  # [P] query pixel y
+    z_ref: jnp.ndarray,  # [P] predicted depth the association must match
+    depth_im: jnp.ndarray,  # [H, W]
+    intr: Intrinsics,
+    max_depth_diff: float,
+):
+    """Same-surface-gated bilinear depth association at arbitrary query
+    pixels: the observed depth at continuous (u, v) is a validity-
+    weighted bilinear blend of the four surrounding pixels where only
+    corners consistent with ``z_ref`` (|d − z_ref| < max_depth_diff)
+    vote — the blend never mixes foreground and background across a
+    depth edge, so the returned target carries the EXACT along-ray
+    depth of the observed surface rather than a corrupted 3-D lift.
+
+    Serves both the classic projective association (query = the point's
+    own projection) and the flow-advected hybrid (query = projection
+    advected by optical flow — ``flow_mode='advect'``), which injects
+    flow's tangential information while keeping projective depth
+    accuracy (the reference's flow source lifts bilinearly from the
+    target point image instead, ``run_model.py:115-217``, which is
+    exactly the corrupted-lift failure the advect mode avoids).
+
+    Returns (targets [P, 3] backprojected at (u, v), valid [P])."""
+    H, W = depth_im.shape
     x0 = jnp.floor(u).astype(jnp.int32)
     y0 = jnp.floor(v).astype(jnp.int32)
     fu = u - x0.astype(jnp.float32)
     fv = v - y0.astype(jnp.float32)
-    num = jnp.zeros_like(z)
-    den = jnp.zeros_like(z)
+    num = jnp.zeros_like(z_ref)
+    den = jnp.zeros_like(z_ref)
     for dy, dx, wgt in (
         (0, 0, (1.0 - fu) * (1.0 - fv)),
         (0, 1, fu * (1.0 - fv)),
@@ -87,16 +121,15 @@ def projective_correspondences(
         dc = depth_im[jnp.clip(cy_, 0, H - 1), jnp.clip(cx_, 0, W - 1)]
         # same-surface gate: a corner only votes if its depth is already
         # consistent with the predicted point, so edges don't blend.
-        good = inb & (dc > 0) & (jnp.abs(dc - z) < max_depth_diff)
+        good = inb & (dc > 0) & (jnp.abs(dc - z_ref) < max_depth_diff)
         w = jnp.where(good, wgt, 0.0)
         num = num + w * dc
         den = den + w
     d = num / jnp.maximum(den, 1e-12)
-    valid = point_valid & ok & (den > 1e-6) & (jnp.abs(d - z) < max_depth_diff)
+    valid = (den > 1e-6) & (jnp.abs(d - z_ref) < max_depth_diff)
     tx = (u - intr.cx) / intr.fx * d
     ty = (v - intr.cy) / intr.fy * d
     targets = jnp.stack([tx, ty, d], axis=-1)
-    targets = jnp.where(valid[:, None], targets, deformed_points)
     return targets, valid
 
 

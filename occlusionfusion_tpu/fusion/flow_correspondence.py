@@ -142,7 +142,9 @@ def patchwise_max_weights(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("flow_scale", "downscale", "bf16", "mask_downscale"),
+    static_argnames=(
+        "flow_scale", "downscale", "bf16", "mask_downscale", "return_uv2"
+    ),
 )
 def flow_targets_at_points(
     pwc_params,
@@ -154,6 +156,7 @@ def flow_targets_at_points(
     downscale: int = 1,
     bf16: bool = False,
     mask_downscale: int = 1,
+    return_uv2: bool = False,
 ):
     """Sparse lift: flow-derived 3-D targets at ``uv`` only.
 
@@ -166,7 +169,10 @@ def flow_targets_at_points(
     identical to sampling the dense lift (flow is smooth where the
     mask gate passes; discontinuities are gated by valid/MaskNet).
 
-    Returns (targets [P, 3], valid [P], weights [P]).
+    Returns (targets [P, 3], valid [P], weights [P]); with
+    ``return_uv2`` also the advected full-res pixels [P, 2] (the
+    ``flow_mode='advect'`` consumer does its own exact-depth
+    association there instead of taking the bilinear 3-D lift).
     """
     H, W = source_rgbxyz.shape[1:]
     ds = int(downscale)
@@ -266,6 +272,8 @@ def flow_targets_at_points(
         weights = jnp.where(valid, w, 0.0)
     else:
         weights = valid.astype(jnp.float32)
+    if return_uv2:
+        return targets, valid, weights, uv2
     return targets, valid, weights
 
 

@@ -240,9 +240,9 @@ def _fused_register_frame_impl(
     intr: Intrinsics,
     perception=None,
 ):
-    if config.flow_mode not in ("fill", "override"):
+    if config.flow_mode not in ("fill", "override", "advect"):
         raise ValueError(
-            f"flow_mode must be 'fill' or 'override', got "
+            f"flow_mode must be 'fill', 'override' or 'advect', got "
             f"{config.flow_mode!r}"
         )
     warp = W.WarpFieldState(
@@ -302,27 +302,42 @@ def _fused_register_frame_impl(
         use_sparse_lift = (
             config.flow_lift == "sparse" and not config.flow_mask_patch
         )
+        adv_uv2 = None
         if use_sparse_lift:
             from occlusionfusion_tpu.fusion.flow_correspondence import (
                 flow_targets_at_points,
             )
 
-            sampled, pvalid, wsamp = flow_targets_at_points(
-                perception["flow"], state.prev_rgbxyz, cur_rgbxyz, uv,
-                mask_params=mask_params,
-                downscale=config.flow_downscale,
-                bf16=config.flow_bf16,
-                mask_downscale=config.mask_downscale,
-            )
+            if config.flow_mode == "advect":
+                sampled, pvalid, wsamp, adv_uv2 = flow_targets_at_points(
+                    perception["flow"], state.prev_rgbxyz, cur_rgbxyz, uv,
+                    mask_params=mask_params,
+                    downscale=config.flow_downscale,
+                    bf16=config.flow_bf16,
+                    mask_downscale=config.mask_downscale,
+                    return_uv2=True,
+                )
+            else:
+                sampled, pvalid, wsamp = flow_targets_at_points(
+                    perception["flow"], state.prev_rgbxyz, cur_rgbxyz, uv,
+                    mask_params=mask_params,
+                    downscale=config.flow_downscale,
+                    bf16=config.flow_bf16,
+                    mask_downscale=config.mask_downscale,
+                )
             ok = inb & pvalid & (deformed_pts[:, 2] > 0)
             if mask_params is not None:
                 ok = ok & (wsamp > config.flow_mask_threshold)
         else:
-            _, flow_targets, flow_valid, flow_weights = flow_correspondences(
-                perception["flow"], state.prev_rgbxyz, cur_rgbxyz,
-                mask_params=mask_params,
-                downscale=config.flow_downscale,
+            flow_full, flow_targets, flow_valid, flow_weights = (
+                flow_correspondences(
+                    perception["flow"], state.prev_rgbxyz, cur_rgbxyz,
+                    mask_params=mask_params,
+                    downscale=config.flow_downscale,
+                )
             )
+            if config.flow_mode == "advect":
+                adv_uv2 = uv + bilinear_sample(flow_full, uv)
             if mask_params is not None and config.flow_mask_patch:
                 from occlusionfusion_tpu.fusion.flow_correspondence import (
                     patchwise_max_weights,
@@ -351,13 +366,37 @@ def _fused_register_frame_impl(
             # fills points without a valid projective target instead of
             # overriding exact along-ray depth with flow pixel error
             ok = ok & ~corr_valid
+        elif config.flow_mode == "advect":
+            # flow-guided projective hybrid (see pipeline.register_frame
+            # for the rationale): exact along-ray depth at the advected
+            # pixel replaces projective association; the lifted sample
+            # stays as a fill rescue where the association fails
+            from occlusionfusion_tpu.fusion.correspondence import (
+                depth_association_at_pixels,
+            )
+
+            adv_t, adv_dvalid = depth_association_at_pixels(
+                adv_uv2[:, 0], adv_uv2[:, 1], deformed_pts[:, 2],
+                depth, intr, config.max_depth_diff,
+            )
+            gate = inb & (deformed_pts[:, 2] > 0)
+            if mask_params is not None:
+                gate = gate & (wsamp > config.flow_mask_threshold)
+            adv_ok = gate & adv_dvalid
+            fill_ok = ok & ~adv_ok & ~corr_valid
+            targets = jnp.where(
+                adv_ok[:, None], adv_t,
+                jnp.where(fill_ok[:, None], sampled, targets),
+            )
+            ok = adv_ok | fill_ok
         if mask_params is not None:
             corr_weight = jnp.where(
                 ok, jnp.clip(wsamp, 0.0, 1.0), corr_weight
             )
         else:
             corr_weight = jnp.maximum(corr_weight, ok.astype(jnp.float32))
-        targets = jnp.where(ok[:, None], sampled, targets)
+        if config.flow_mode != "advect":
+            targets = jnp.where(ok[:, None], sampled, targets)
         corr_valid = corr_valid | ok
 
     # 2c. learned scene flow in-dispatch (run_lepard.py:39-78

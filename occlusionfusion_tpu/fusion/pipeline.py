@@ -116,7 +116,12 @@ class FusionConfig:
     # "fill" (default) = flow only where no valid projective target
     # exists; "override" = flow replaces projective wherever the mask
     # gate passes (the reference's behavior — measurably worse when the
-    # flow net's pixel error exceeds projective depth accuracy)
+    # flow net's pixel error exceeds projective depth accuracy);
+    # "advect" = flow-guided projective hybrid: the projection is
+    # advected by the flow and the target takes the EXACT along-ray
+    # depth at the advected pixel (same-surface-gated bilinear) —
+    # flow's tangential signal with projective's depth accuracy, with
+    # fill-style lifted rescue where the depth association fails
     flow_mode: str = "fill"
     # run PWC+MaskNet at 1/N resolution (lift stays full-res): the
     # correlation pyramid at the reference's 448x640 dominates the
@@ -180,9 +185,9 @@ class FusionConfig:
         # an unknown flow_mode would silently fall through to override
         # semantics, which measurably doubles tracking error on
         # articulated clips — fail loudly instead
-        if self.flow_mode not in ("fill", "override"):
+        if self.flow_mode not in ("fill", "override", "advect"):
             raise ValueError(
-                f"flow_mode must be 'fill' or 'override', got "
+                f"flow_mode must be 'fill', 'override' or 'advect', got "
                 f"{self.flow_mode!r}"
             )
         if self.flow_lift not in ("dense", "sparse"):
@@ -457,10 +462,12 @@ class DynamicFusion:
                 rgb = jnp.asarray(f.color).transpose(2, 0, 1) / 255.0
                 return jnp.concatenate([rgb, xyz.transpose(2, 0, 1)], 0)
 
-            _, flow_targets, flow_valid, flow_weights = flow_correspondences(
-                self.flow_params, rgbxyz(self.prev_frame), rgbxyz(frame),
-                mask_params=self.mask_params,
-                downscale=self.config.flow_downscale,
+            flow_full, flow_targets, flow_valid, flow_weights = (
+                flow_correspondences(
+                    self.flow_params, rgbxyz(self.prev_frame), rgbxyz(frame),
+                    mask_params=self.mask_params,
+                    downscale=self.config.flow_downscale,
+                )
             )
             if self.mask_params is not None and self.config.flow_mask_patch:
                 from occlusionfusion_tpu.fusion.flow_correspondence import (
@@ -506,13 +513,53 @@ class DynamicFusion:
                 # net's pixel error (~mm) everywhere — measured on the
                 # arms clip, global override doubles tracking error
                 ok = ok & ~corr_valid
+            elif self.config.flow_mode == "advect":
+                # flow-guided projective hybrid: advect each model
+                # point's projection by the sampled flow, then take the
+                # EXACT along-ray depth at the advected pixel via the
+                # same-surface-gated bilinear association — flow
+                # contributes the TANGENTIAL pixel displacement that
+                # plain projective association cannot see (it always
+                # re-associates along the ray, so on a fully-visible
+                # surface fill-mode flow never engages and tangential
+                # drift goes uncorrected), while the depth association
+                # keeps projective's exact-depth property that makes
+                # override-mode's bilinear 3-D lift lose. Advected
+                # targets REPLACE projective where the depth
+                # association succeeds; the lifted sample remains as a
+                # fill rescue where it doesn't.
+                from occlusionfusion_tpu.fusion.correspondence import (
+                    depth_association_at_pixels,
+                )
+
+                fsamp = bilinear_sample(flow_full, uv)  # [P, 2] px
+                uv2 = uv + fsamp
+                adv_t, adv_dvalid = depth_association_at_pixels(
+                    uv2[:, 0], uv2[:, 1], deformed_pts[:, 2],
+                    corr_depth, self.intr, cfg.max_depth_diff,
+                )
+                gate = inb & (deformed_pts[:, 2] > 0)
+                if self.mask_params is not None:
+                    gate = gate & (
+                        wsamp > self.config.flow_mask_threshold
+                    )
+                adv_ok = gate & adv_dvalid
+                # fill rescue where advection failed: lifted target for
+                # points with no projective association (fill's win)
+                fill_ok = ok & ~adv_ok & ~corr_valid
+                targets = jnp.where(
+                    adv_ok[:, None], adv_t,
+                    jnp.where(fill_ok[:, None], sampled, targets),
+                )
+                ok = adv_ok | fill_ok
             if self.mask_params is not None:
                 corr_weight = jnp.where(
                     ok, jnp.clip(wsamp, 0.0, 1.0), corr_weight
                 )
             else:
                 corr_weight = jnp.maximum(corr_weight, ok.astype(jnp.float32))
-            targets = jnp.where(ok[:, None], sampled, targets)
+            if self.config.flow_mode != "advect":
+                targets = jnp.where(ok[:, None], sampled, targets)
             corr_valid = corr_valid | ok
 
         # optional learned scene flow (run_lepard.py:39-78 equivalent):

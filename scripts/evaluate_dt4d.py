@@ -99,11 +99,11 @@ def main():
                     help="run PWC+MaskNet at 1/N resolution (lift stays "
                          "full-res)")
     ap.add_argument("--flow_mode", default="fill",
-                    choices=("fill", "override"),
+                    choices=("fill", "override", "advect"),
                     help="flow combination semantics (override = the "
-                         "reference's, run_model.py:115-217; the "
-                         "override>=fill A/B is VERDICT r2 item 3's "
-                         "done-criterion)")
+                         "reference's, run_model.py:115-217; advect = "
+                         "flow-advected pixel + exact along-ray depth "
+                         "— the tangential-drift hybrid)")
     ap.add_argument("--lepard_subsample", default="topk",
                     choices=("topk", "strided"),
                     help="target-subsample selection A/B (fused-engine "

@@ -91,7 +91,7 @@ def main():
                     help="flow lift: dense [H,W] fields or sparse "
                          "at the model projections (fused engine)")
     ap.add_argument("--flow_mode", default="fill",
-                    choices=("fill", "override"))
+                    choices=("fill", "override", "advect"))
     ap.add_argument("--flow_downscale", type=int, default=1)
     ap.add_argument("--flow_weights", default=None,
                     help="PWC-Net(+MaskNet) checkpoint (train_flow.py "
