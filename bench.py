@@ -1,13 +1,24 @@
 #!/usr/bin/env python
 """Benchmark: fused dynamic-fusion throughput (the headline metric).
 
-Default mode runs the FULL per-frame fusion loop — correspondence
-search, node visibility, per-node motion observation, the Gauss-Newton
-warp solve, and warp-aware TSDF integration — as a chunked lax.scan
-(one device dispatch per 16 frames) over a synthetic deforming-sphere
-sequence at 64^3 voxels / 4k points / 128-node cap, and prints ONE
-JSON line:
+Default mode prints TWO JSON lines, each measured in its own fresh
+child process (the relay's per-dispatch overhead grows within a
+process):
+  1. fused_fusion_fps — the FULL per-frame fusion loop (correspondence
+     search, node visibility, per-node motion observation, the
+     Gauss-Newton warp solve, warp-aware TSDF integration) as a chunked
+     lax.scan at 64^3 voxels / 4k points / 128-node cap (the fast small
+     config);
+  2. envelope_full_perception_fps — the REFERENCE ENVELOPE headline:
+     128^3 @ 5 mm bricked volume, 448x640 frames, cap 256, with the
+     complete perception loop in-scan every frame (PWC flow + MaskNet +
+     Lepard + motion GNN) using only accuracy-validated levers
+     (ENVELOPE_ENV below). This is the line that answers the >=30 fps
+     north star.
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+Setting any BENCH_* scale/stage override prints exactly that one
+configured line instead (manual probe mode); BENCH_ENVELOPE=0/1
+forces the envelope line off/on.
 
 vs_baseline is measured against the driver's north-star real-time target
 of 30 fps dynamic fusion (BASELINE.md): value / 30. Measured 95 fps on
@@ -212,6 +223,7 @@ def bench_fusion():
         lepard_subsample=os.environ.get("BENCH_LEPARD_SUBSAMPLE", "topk"),
         flow_downscale=int(os.environ.get("BENCH_FLOW_DS", "1")),
         flow_lift=os.environ.get("BENCH_FLOW_LIFT", "dense"),
+        flow_mode=os.environ.get("BENCH_FLOW_MODE", "fill"),
         flow_bf16=os.environ.get("BENCH_FLOW_BF16") == "1",
         mask_downscale=int(os.environ.get("BENCH_MASK_DS", "1")),
     )
@@ -299,13 +311,45 @@ def bench_fusion():
     print(
         json.dumps(
             {
-                "metric": "fused_fusion_fps",
+                "metric": os.environ.get("BENCH_METRIC", "fused_fusion_fps"),
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+# The accuracy-validated full-perception reference envelope (the number
+# that answers the >=30 fps north star): the reference's own scale —
+# 128^3 @ 5 mm bricked volume, 448x640 frames — with the COMPLETE hot
+# loop in-scan every frame (PWC flow + MaskNet + Lepard matching +
+# motion GNN, fusion.py:137-148) and only matrix-validated levers
+# (docs/EVAL_MATRIX.md: sparse lift / bf16 perception / half-res
+# MaskNet / strided subsample / 2 GN iters all cost zero accuracy;
+# flow_ds2 is excluded because it costs 2x ATE on arms). Measured
+# 33.32 fps on one v5e (2026-08-21, scripts/probe_r4_final2.sh).
+ENVELOPE_ENV = {
+    "BENCH_MODE": "fusion_chunked",
+    "BENCH_VOL": "128",
+    "BENCH_VOXEL_SIZE": "0.005",
+    "BENCH_IMG": "448x640",
+    "BENCH_MAX_NODES": "256",
+    "BENCH_MAX_POINTS": "8192",
+    "BENCH_BRICK": "8",
+    "BENCH_MAX_BRICKS": "1024",
+    "BENCH_NODE_COVERAGE": "0.05",
+    "BENCH_MOTION": "1",
+    "BENCH_FLOW": "1",
+    "BENCH_LEPARD": "1",
+    "BENCH_FLOW_LIFT": "sparse",
+    "BENCH_FLOW_BF16": "1",
+    "BENCH_MASK_DS": "2",
+    "BENCH_LEPARD_SUBSAMPLE": "strided",
+    "BENCH_GN_ITERS": "2",
+    "BENCH_METRIC": "envelope_full_perception_fps",
+}
 
 
 def main():
@@ -429,37 +473,62 @@ def _supervise():
     in-process), so the parent stays jax-free, gives the child a hard
     budget, and retries once in a fresh process after a cool-down.
     """
-    import subprocess
+    import subprocess as _sp
     import sys
+
+    def run_child(env, budget, label):
+        b = budget
+        for attempt in (1, 2):
+            child = _sp.Popen([sys.executable, __file__], env=env)
+            try:
+                rc = child.wait(timeout=b)
+            except _sp.TimeoutExpired:
+                child.kill()
+                child.wait()
+                rc = -1
+                print(
+                    f"[bench] {label} attempt {attempt} exceeded {b}s "
+                    "(wedged TPU relay?)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            if rc == 0:
+                return 0
+            if attempt == 1:
+                print(
+                    f"[bench] {label} attempt 1 failed (rc={rc}); cooling "
+                    "down 300 s then retrying in a fresh process",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                time.sleep(300)
+                b *= 2
+        return 1
 
     budget = int(os.environ.get("BENCH_BUDGET_S", "1500"))
     env = dict(os.environ, BENCH_CHILD="1")
-    for attempt in (1, 2):
-        child = subprocess.Popen([sys.executable, __file__], env=env)
-        try:
-            rc = child.wait(timeout=budget)
-        except subprocess.TimeoutExpired:
-            child.kill()
-            child.wait()
-            rc = -1
-            print(
-                f"[bench] attempt {attempt} exceeded {budget}s "
-                "(wedged TPU relay?)",
-                file=sys.stderr,
-                flush=True,
-            )
-        if rc == 0:
-            return 0
-        if attempt == 1:
-            print(
-                f"[bench] attempt 1 failed (rc={rc}); cooling down 300 s "
-                "then retrying in a fresh process",
-                file=sys.stderr,
-                flush=True,
-            )
-            time.sleep(300)
-            budget *= 2
-    return 1
+    rc = run_child(env, budget, "default")
+    # Second line: the reference-envelope full-perception headline, in a
+    # FRESH child process (the relay's per-dispatch overhead grows
+    # within a process — each measurement must start clean). Only on a
+    # plain `python bench.py`: any explicit BENCH_* scale/stage override
+    # means a manual probe, which should print exactly its one line.
+    manual_probe = any(
+        os.environ.get(k) not in (None, "")
+        for k in (
+            "BENCH_VOL", "BENCH_IMG", "BENCH_MAX_NODES", "BENCH_MODE",
+            "BENCH_FLOW", "BENCH_LEPARD", "BENCH_MOTION", "BENCH_GN_ITERS",
+        )
+    )
+    want_envelope = os.environ.get("BENCH_ENVELOPE", "")
+    if want_envelope == "1" or (want_envelope != "0" and not manual_probe):
+        env2 = dict(env)
+        env2.update(ENVELOPE_ENV)
+        rc2 = run_child(
+            env2, int(os.environ.get("BENCH_BUDGET_S", "2400")), "envelope"
+        )
+        rc = rc or rc2
+    return rc
 
 
 if __name__ == "__main__":

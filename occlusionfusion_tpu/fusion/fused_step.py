@@ -101,8 +101,14 @@ class FusedStepConfig(NamedTuple):
     # only the best-weighted correspondence per PxP patch. 0 = off.
     flow_mask_patch: int = 0
     # "fill" = flow only rescues points without a valid projective
-    # target; "override" = reference behavior (see pipeline.FusionConfig)
+    # target; "override" = reference behavior; "advect" = flow-guided
+    # projective hybrid (see pipeline.FusionConfig)
     flow_mode: str = "fill"
+    # advect-mode knobs (pipeline.FusionConfig.flow_advect_*)
+    flow_advect_min_px: float = 0.0
+    flow_advect_weight: float = 1.0
+    flow_advect_mask_threshold: float = None
+    flow_advect_alpha: float = 1.0
     # PWC+MaskNet resolution divisor (pipeline.FusionConfig.flow_downscale)
     flow_downscale: int = 1
     # perception precision/resolution knobs (sparse lift only):
@@ -381,21 +387,49 @@ def _fused_register_frame_impl(
             )
             gate = inb & (deformed_pts[:, 2] > 0)
             if mask_params is not None:
-                gate = gate & (wsamp > config.flow_mask_threshold)
+                thr = (
+                    config.flow_advect_mask_threshold
+                    if config.flow_advect_mask_threshold is not None
+                    else config.flow_mask_threshold
+                )
+                gate = gate & (wsamp > thr)
+            if config.flow_advect_min_px > 0.0:
+                gate = gate & (
+                    jnp.linalg.norm(adv_uv2 - uv, axis=-1)
+                    >= config.flow_advect_min_px
+                )
             adv_ok = gate & adv_dvalid
+            if config.flow_advect_alpha < 1.0:
+                a = jnp.float32(config.flow_advect_alpha)
+                adv_t = jnp.where(
+                    corr_valid[:, None],
+                    a * adv_t + (1.0 - a) * targets,
+                    adv_t,
+                )
             fill_ok = ok & ~adv_ok & ~corr_valid
             targets = jnp.where(
                 adv_ok[:, None], adv_t,
                 jnp.where(fill_ok[:, None], sampled, targets),
             )
-            ok = adv_ok | fill_ok
-        if mask_params is not None:
-            corr_weight = jnp.where(
-                ok, jnp.clip(wsamp, 0.0, 1.0), corr_weight
+            w_flow = (
+                jnp.clip(wsamp, 0.0, 1.0)
+                if mask_params is not None
+                else jnp.ones_like(uv[:, 0])
             )
-        else:
-            corr_weight = jnp.maximum(corr_weight, ok.astype(jnp.float32))
+            corr_weight = jnp.where(
+                adv_ok, w_flow * config.flow_advect_weight, corr_weight
+            )
+            corr_weight = jnp.where(fill_ok, w_flow, corr_weight)
+            ok = adv_ok | fill_ok
         if config.flow_mode != "advect":
+            if mask_params is not None:
+                corr_weight = jnp.where(
+                    ok, jnp.clip(wsamp, 0.0, 1.0), corr_weight
+                )
+            else:
+                corr_weight = jnp.maximum(
+                    corr_weight, ok.astype(jnp.float32)
+                )
             targets = jnp.where(ok[:, None], sampled, targets)
         corr_valid = corr_valid | ok
 

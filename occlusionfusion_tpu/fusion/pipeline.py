@@ -123,6 +123,30 @@ class FusionConfig:
     # flow's tangential signal with projective's depth accuracy, with
     # fill-style lifted rescue where the depth association fails
     flow_mode: str = "fill"
+    # advect-mode noise gate: only advect where the sampled flow
+    # magnitude exceeds this many pixels — the flow net's ~1 px error
+    # is pure tangential noise on quasi-static surface regions where
+    # projective association is already exact; real tangential motion
+    # (a rotating limb at the working scale is 2-3 px/frame) clears
+    # the gate. 0 = advect everywhere the association succeeds.
+    flow_advect_min_px: float = 0.0
+    # solver weight multiplier for advected correspondences (their
+    # tangential component carries flow noise; projective matches
+    # keep weight 1)
+    flow_advect_weight: float = 1.0
+    # MaskNet threshold for the advect OVERRIDE specifically (fill
+    # rescue keeps flow_mask_threshold): overriding an exact projective
+    # target demands higher flow confidence than rescuing a point that
+    # has no target at all. None = use flow_mask_threshold.
+    flow_advect_mask_threshold: float | None = None
+    # blend factor between the advected and the projective target where
+    # BOTH are valid (target = alpha*advect + (1-alpha)*projective).
+    # Both targets carry exact along-ray depth; they differ only
+    # tangentially, so alpha scales the tangential correction — flow
+    # noise is zero-mean per frame while tangential drift is
+    # systematic, so a partial correction still converges drift while
+    # injecting proportionally less noise. 1 = full advect.
+    flow_advect_alpha: float = 1.0
     # run PWC+MaskNet at 1/N resolution (lift stays full-res): the
     # correlation pyramid at the reference's 448x640 dominates the
     # perception hot loop; 2 quarters its cost for ~proportional px
@@ -540,10 +564,27 @@ class DynamicFusion:
                 )
                 gate = inb & (deformed_pts[:, 2] > 0)
                 if self.mask_params is not None:
+                    thr = (
+                        cfg.flow_advect_mask_threshold
+                        if cfg.flow_advect_mask_threshold is not None
+                        else cfg.flow_mask_threshold
+                    )
+                    gate = gate & (wsamp > thr)
+                if cfg.flow_advect_min_px > 0.0:
                     gate = gate & (
-                        wsamp > self.config.flow_mask_threshold
+                        jnp.linalg.norm(fsamp, axis=-1)
+                        >= cfg.flow_advect_min_px
                     )
                 adv_ok = gate & adv_dvalid
+                if cfg.flow_advect_alpha < 1.0:
+                    # partial tangential correction where projective is
+                    # also valid; full advect where it is the only target
+                    a = jnp.float32(cfg.flow_advect_alpha)
+                    adv_t = jnp.where(
+                        corr_valid[:, None],
+                        a * adv_t + (1.0 - a) * targets,
+                        adv_t,
+                    )
                 # fill rescue where advection failed: lifted target for
                 # points with no projective association (fill's win)
                 fill_ok = ok & ~adv_ok & ~corr_valid
@@ -551,14 +592,25 @@ class DynamicFusion:
                     adv_ok[:, None], adv_t,
                     jnp.where(fill_ok[:, None], sampled, targets),
                 )
-                ok = adv_ok | fill_ok
-            if self.mask_params is not None:
-                corr_weight = jnp.where(
-                    ok, jnp.clip(wsamp, 0.0, 1.0), corr_weight
+                w_flow = (
+                    jnp.clip(wsamp, 0.0, 1.0)
+                    if self.mask_params is not None
+                    else jnp.ones_like(fsamp[:, 0])
                 )
-            else:
-                corr_weight = jnp.maximum(corr_weight, ok.astype(jnp.float32))
+                corr_weight = jnp.where(
+                    adv_ok, w_flow * cfg.flow_advect_weight, corr_weight
+                )
+                corr_weight = jnp.where(fill_ok, w_flow, corr_weight)
+                ok = adv_ok | fill_ok
             if self.config.flow_mode != "advect":
+                if self.mask_params is not None:
+                    corr_weight = jnp.where(
+                        ok, jnp.clip(wsamp, 0.0, 1.0), corr_weight
+                    )
+                else:
+                    corr_weight = jnp.maximum(
+                        corr_weight, ok.astype(jnp.float32)
+                    )
                 targets = jnp.where(ok[:, None], sampled, targets)
             corr_valid = corr_valid | ok
 
@@ -1334,6 +1386,10 @@ class DynamicFusion:
             flow_mask_threshold=cfg.flow_mask_threshold,
             flow_mask_patch=cfg.flow_mask_patch,
             flow_mode=cfg.flow_mode,
+            flow_advect_min_px=cfg.flow_advect_min_px,
+            flow_advect_weight=cfg.flow_advect_weight,
+            flow_advect_mask_threshold=cfg.flow_advect_mask_threshold,
+            flow_advect_alpha=cfg.flow_advect_alpha,
             flow_downscale=cfg.flow_downscale,
             flow_lift=cfg.flow_lift,
             flow_bf16=cfg.flow_bf16,

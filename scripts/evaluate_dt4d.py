@@ -104,6 +104,18 @@ def main():
                          "reference's, run_model.py:115-217; advect = "
                          "flow-advected pixel + exact along-ray depth "
                          "— the tangential-drift hybrid)")
+    ap.add_argument("--flow_advect_min_px", type=float, default=0.0,
+                    help="advect only where |flow| >= this many px "
+                         "(noise gate; 0 = everywhere)")
+    ap.add_argument("--flow_advect_weight", type=float, default=1.0,
+                    help="solver weight multiplier for advected "
+                         "correspondences")
+    ap.add_argument("--flow_advect_mask", type=float, default=None,
+                    help="MaskNet threshold for the advect override "
+                         "(default: flow_mask_threshold)")
+    ap.add_argument("--flow_advect_alpha", type=float, default=1.0,
+                    help="blend of advected vs projective target where "
+                         "both valid (tangential correction scale)")
     ap.add_argument("--lepard_subsample", default="topk",
                     choices=("topk", "strided"),
                     help="target-subsample selection A/B (fused-engine "
@@ -325,6 +337,10 @@ def main():
         keyframe_interval=args.keyframe_interval,
         flow_downscale=args.flow_downscale,
         flow_mode=args.flow_mode,
+        flow_advect_min_px=args.flow_advect_min_px,
+        flow_advect_weight=args.flow_advect_weight,
+        flow_advect_mask_threshold=args.flow_advect_mask,
+        flow_advect_alpha=args.flow_advect_alpha,
     )
     if args.keyframe_interval:
         args.stepwise = True  # pose graph lives in the stepwise loop
