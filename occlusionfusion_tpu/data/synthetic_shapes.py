@@ -136,6 +136,46 @@ def arms_clip(n_frames, n_verts, rng, rotate_deg=0.0, rotate_osc_deg=0.0):
     return verts, np.zeros((1, 3), np.int32), np.stack(offsets)
 
 
+def surface_labels(shape: str, verts: np.ndarray) -> np.ndarray:
+    """Per-vertex surface-identity label for a ``shape_clip`` shape
+    (0 = body; 1..K = parts). Derived deterministically from the vertex
+    layout/geometry the generators use — no rng draws, so golden clips
+    are unaffected.
+
+    - ``arms``: index arithmetic (body / left limb / right limb blocks,
+      see ``arms_clip``).
+    - ``limbs``: lobe membership by direction (a vertex belongs to the
+      lobe whose ``limb_dirs`` row it most aligns with, when the
+      alignment would produce a significant bulge weight — the same
+      ``max(v@d, 0)^8`` field the generator shapes with).
+    - ``blob``: all zeros (one surface).
+
+    The bridge-negative supervision consumes these: a confident match
+    joining two different labels' points that are geometrically near in
+    the target frame is a cross-surface bridge — the diagnosed arms
+    failure that match-level supervision alone cannot penalize."""
+    n = len(verts)
+    if shape == "arms":
+        n_body = n // 2
+        n_limb = (n - n_body) // 2
+        lbl = np.zeros(n, np.int32)
+        lbl[n_body : n_body + n_limb] = 1
+        lbl[n_body + n_limb : n_body + 2 * n_limb] = 2
+        return lbl
+    if shape == "limbs":
+        limb_dirs = np.asarray(
+            [[1, 0, 0.3], [-1, 0.2, 0], [0, 1, -0.2], [0.2, -1, 0]],
+            np.float32,
+        )
+        limb_dirs /= np.linalg.norm(limb_dirs, axis=1, keepdims=True)
+        v = verts / (np.linalg.norm(verts, axis=1, keepdims=True) + 1e-9)
+        a = v @ limb_dirs.T  # [n, 4]
+        best = a.max(1)
+        lbl = np.where(best > 0.8, a.argmax(1) + 1, 0)
+        return lbl.astype(np.int32)
+    return np.zeros(n, np.int32)
+
+
 def shape_clip(shape, n_frames, n_verts, seed=0, rotate_deg=0.0,
                rotate_osc_deg=0.0):
     """Dispatch on shape name; one RandomState per clip, draw order

@@ -66,13 +66,23 @@ def focal_correspondence_loss(
     valid: jnp.ndarray,  # [S, T]
     alpha: float = 0.25,
     gamma: float = 2.0,
+    neg_weight: jnp.ndarray | None = None,  # [S, T] negative-term scale
 ):
     """Focal BCE over the correspondence matrix
     (``lepard/models/loss.py:286+``): down-weights easy negatives so the
-    sparse positive matches dominate."""
+    sparse positive matches dominate.
+
+    ``neg_weight`` scales the negative term per cell — bridge-negative
+    supervision passes >1 on cross-surface-identity pairs that are
+    geometrically near in the target frame (the confident-but-wrong
+    bridges focal BCE alone treats as easy negatives, since nothing in
+    a match-level loss distinguishes "near and wrong surface" from
+    "far and obviously wrong")."""
     conf = jnp.clip(conf, 1e-6, 1 - 1e-6)
     pos = -alpha * ((1 - conf) ** gamma) * jnp.log(conf) * gt_matches
     neg = -(1 - alpha) * (conf**gamma) * jnp.log(1 - conf) * (1 - gt_matches)
+    if neg_weight is not None:
+        neg = neg * neg_weight
     m = valid.astype(jnp.float32)
     loss = (pos + neg) * m
     return jnp.sum(loss) / jnp.maximum(jnp.sum(gt_matches * m), 1.0)

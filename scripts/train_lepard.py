@@ -137,7 +137,8 @@ def synthetic_pair(rng, n=192, cap=256, nonrigid=True, overlap=0.8,
 
 def rendered_cloud_pair(rng, n=192, cap=256, shapes=("blob", "limbs", "arms"),
                         n_verts=4000, H=160, W=160, match_tol=0.015,
-                        normalize_radius=0.3, max_gap=2):
+                        normalize_radius=0.3, max_gap=2,
+                        rot_deg=0.0, return_aux=False):
     """Domain-matched matcher pair: source/target clouds backprojected
     from splat-rendered depth of the procedural deforming shapes, GT
     correspondences from the known vertex motion (a source point matches
@@ -147,7 +148,24 @@ def rendered_cloud_pair(rng, n=192, cap=256, shapes=("blob", "limbs", "arms"),
     normalized exactly as ``scene_flow`` does at inference (joint
     centroid, RMS radius -> ``normalize_radius``), so training sees the
     deployed scale distribution. Same return layout as
-    ``synthetic_pair``."""
+    ``synthetic_pair``.
+
+    ``rot_deg``: relative-rotation augmentation — the target cloud (and
+    the true target positions) are additionally rotated by a random
+    rotation with angle up to ``rot_deg`` about the target centroid.
+    The fusion loop's frame-to-frame matching sees bounded rotations,
+    but wide-baseline RELOCALIZATION (the regime-3 rotational-ambiguity
+    cap, docs/EVAL_MATRIX.md) needs the matcher to hold under large
+    relative rotation; 180 covers full SO(3).
+
+    ``return_aux``: also return (labels_src [cap], labels_tgt [cap],
+    gt_pos [cap, 3], gt_pos_mask [cap]) — per-point surface-identity
+    labels (``synthetic_shapes.surface_labels``) and the true
+    (normalized-space) target-frame position of every source point.
+    These power bridge-negative supervision: a target point
+    geometrically near a source point's true position but on a
+    DIFFERENT surface is exactly the confident-but-wrong bridge match
+    the arms regime produces."""
     from occlusionfusion_tpu.data.deformingthings4d import frame_vertices
     from occlusionfusion_tpu.data.synthetic_shapes import (
         _backproject,
@@ -175,18 +193,28 @@ def rendered_cloud_pair(rng, n=192, cap=256, shapes=("blob", "limbs", "arms"),
     v_j = (frame_vertices(verts, offs, j) - center) * s + off
     zeros = np.zeros((n_verts, 3), np.float32)
     d1, _, m1, win = np_render(v_i, zeros, intr, (H, W), splat_radius=2)
-    d2, _, m2, _ = np_render(v_j, zeros, intr, (H, W), splat_radius=2)
+    d2, _, m2, win2 = np_render(v_j, zeros, intr, (H, W), splat_radius=2)
 
     src_xyz = _backproject(d1, intr)
     ys, xs = np.nonzero(m1 & (win < n_verts))
     pick_s = rng.choice(len(ys), min(n, len(ys)), replace=False)
+    src_vid = win[ys[pick_s], xs[pick_s]]
     src = src_xyz[ys[pick_s], xs[pick_s]].astype(np.float32)
-    gt_tgt_pos = v_j[win[ys[pick_s], xs[pick_s]]]
+    gt_tgt_pos = v_j[src_vid]
 
     tgt_xyz = _backproject(d2, intr)
-    ty, tx = np.nonzero(m2)
+    ty, tx = np.nonzero(m2 & (win2 < n_verts))
     pick_t = rng.choice(len(ty), min(cap, len(ty)), replace=False)
+    tgt_vid = win2[ty[pick_t], tx[pick_t]]
     tgt = tgt_xyz[ty[pick_t], tx[pick_t]].astype(np.float32)
+
+    if rot_deg > 0.0:
+        # relative-rotation augmentation about the target centroid; the
+        # true target positions rotate with the target frame
+        Raug = random_rotation(rng, np.deg2rad(rot_deg))
+        tc = tgt.mean(0)
+        tgt = ((tgt - tc) @ Raug.T + tc).astype(np.float32)
+        gt_tgt_pos = ((gt_tgt_pos - tc) @ Raug.T + tc).astype(np.float32)
 
     # GT correspondence: nearest kept target point to the true target
     # position, gated by match_tol (metric space)
@@ -201,6 +229,7 @@ def rendered_cloud_pair(rng, n=192, cap=256, shapes=("blob", "limbs", "arms"),
     sc = normalize_radius / max(rms, 1e-6)
     src = (src - c) * sc
     tgt = (tgt - c) * sc
+    gt_tgt_pos = ((gt_tgt_pos - c) * sc).astype(np.float32)
 
     ns, nt = len(src), len(tgt)
     src_p = np.zeros((cap, 3), np.float32)
@@ -219,7 +248,20 @@ def rendered_cloud_pair(rng, n=192, cap=256, shapes=("blob", "limbs", "arms"),
         if ok[a] and k < cap:
             cs[k], ct[k], cm[k] = a, nn[a], True
             k += 1
-    return src_p, sm, tgt_p, tm, cs, ct, cm
+    if not return_aux:
+        return src_p, sm, tgt_p, tm, cs, ct, cm
+    from occlusionfusion_tpu.data.synthetic_shapes import surface_labels
+
+    vlbl = surface_labels(shape, verts)
+    lbl_s = np.zeros(cap, np.int32)
+    lbl_s[:ns] = vlbl[src_vid]
+    lbl_t = np.zeros(cap, np.int32)
+    lbl_t[:nt] = vlbl[tgt_vid]
+    gtp = np.zeros((cap, 3), np.float32)
+    gtp[:ns] = gt_tgt_pos
+    gtm = np.zeros(cap, bool)
+    gtm[:ns] = True
+    return src_p, sm, tgt_p, tm, cs, ct, cm, lbl_s, lbl_t, gtp, gtm
 
 
 def main():
@@ -275,6 +317,19 @@ def main():
                          "--rendered_frac pairs (uniformly sampled); "
                          "bias toward arms to harden the matcher "
                          "against articulated self-occlusion")
+    ap.add_argument("--bridge_boost", type=float, default=0.0,
+                    help="extra negative-loss weight on cross-surface "
+                         "bridge cells (target anchors near a source "
+                         "anchor's TRUE position but on a different "
+                         "surface label); needs --rendered_frac pairs "
+                         "(they carry surface identity). 0 = off")
+    ap.add_argument("--bridge_radius", type=float, default=0.08,
+                    help="canonical-space radius defining 'near' for "
+                         "bridge negatives")
+    ap.add_argument("--rendered_rot_deg", type=float, default=0.0,
+                    help="relative-rotation augmentation of rendered "
+                         "pairs (max angle; 180 = full SO(3)) — for "
+                         "wide-baseline relocalization robustness")
     ap.add_argument("--rendered_frac", type=float, default=0.0,
                     help="fraction of training pairs drawn from rendered "
                          "depth-cloud pairs of the procedural shapes "
@@ -475,11 +530,37 @@ def main():
         )
         return gt
 
-    def loss_fn(params, src, sm, tgt, tm, gt_corr_src, gt_corr_tgt, corr_mask):
+    def loss_fn(params, src, sm, tgt, tm, gt_corr_src, gt_corr_tgt,
+                corr_mask, lbl_s, lbl_t, gtp, gtm):
         m = lepard_match(params, cfg, src, sm, tgt, tm)
         gt = gt_matrix(m, src, tgt, gt_corr_src, gt_corr_tgt, corr_mask)
         valid = m.src_valid[:, None] & m.tgt_valid[None, :]
-        return focal_correspondence_loss(m.confidence, gt, valid)
+        neg_w = None
+        if args.bridge_boost > 0.0:
+            # surface identity at the coarse anchors = identity of the
+            # nearest input point; bridge cell = target anchor within
+            # bridge_radius of the source anchor's TRUE warped position
+            # but labeled a different surface (and not the GT cell)
+            _, sidx = knn_lax(m.src_points, src, k=1, valid=sm)
+            _, tidx = knn_lax(m.tgt_points, tgt, k=1, valid=tm)
+            lblc_s = lbl_s[sidx[:, 0]]
+            lblc_t = lbl_t[tidx[:, 0]]
+            gtp_c = gtp[sidx[:, 0]]
+            gtm_c = gtm[sidx[:, 0]] & m.src_valid
+            d2 = jnp.sum(
+                (m.tgt_points[None, :, :] - gtp_c[:, None, :]) ** 2, -1
+            )
+            bridge = (
+                (d2 < args.bridge_radius**2)
+                & (lblc_s[:, None] != lblc_t[None, :])
+                & gtm_c[:, None]
+                & m.tgt_valid[None, :]
+                & (gt < 0.5)
+            )
+            neg_w = 1.0 + args.bridge_boost * bridge.astype(jnp.float32)
+        return focal_correspondence_loss(
+            m.confidence, gt, valid, neg_weight=neg_w
+        )
 
     @jax.jit
     def train_step(params, opt_state, *batch):
@@ -489,7 +570,7 @@ def main():
         return params, opt_state, loss
 
     @jax.jit
-    def eval_step(params, src, sm, tgt, tm, cs, ct, cm):
+    def eval_step(params, src, sm, tgt, tm, cs, ct, cm, *aux):
         m = lepard_match(params, cfg, src, sm, tgt, tm)
         gt = gt_matrix(m, src, tgt, cs, ct, cm)
         has_gt = (jnp.sum(gt, axis=1) > 0) & m.src_valid
@@ -504,16 +585,30 @@ def main():
 
     max_angle = np.deg2rad(args.max_angle_deg)
 
+    def neutral_aux(cap):
+        # no surface identity / no true positions -> bridge term is a
+        # no-op for this batch
+        return (
+            np.zeros(cap, np.int32), np.zeros(cap, np.int32),
+            np.zeros((cap, 3), np.float32), np.zeros(cap, bool),
+        )
+
     def batch_from(rng, frac=1.0):
         if dataset is not None:
             s = dataset[rng.randint(len(dataset))]
-            return tuple(jnp.asarray(s[k]) for k in (
+            base = tuple(s[k] for k in (
                 "source", "source_mask", "target", "target_mask",
                 "corr_src", "corr_tgt", "corr_mask"))
+            return tuple(
+                jnp.asarray(x)
+                for x in base + neutral_aux(len(s["source"]))
+            )
         if args.rendered_frac and rng.rand() < args.rendered_frac:
             return tuple(jnp.asarray(x) for x in rendered_cloud_pair(
                 rng, n=args.points, cap=args.cap,
                 shapes=tuple(args.shapes.split(",")),
+                rot_deg=args.rendered_rot_deg,
+                return_aux=True,
             ))
         # curriculum: rotation magnitude and warp amplitude ramp up over
         # the first half of training
@@ -523,7 +618,7 @@ def main():
             max_angle=np.deg2rad(10.0) + ramp * max(
                 max_angle - np.deg2rad(10.0), 0.0),
             warp_amplitude=0.01 + 0.03 * ramp,
-        ))
+        ) + neutral_aux(args.cap))
 
     rng = np.random.RandomState(args.seed)
     val_rng = np.random.RandomState(10_000 + args.seed)
