@@ -191,6 +191,17 @@ class FusionConfig:
     # inlier fraction a recovered pose must reach to be adopted
     relocalize_min_obs_px: int = 400
     relocalize_recover_inliers: float = 0.5
+    # wide-baseline recovery master switch — DEFAULT OFF (the
+    # documented end-state decision, docs/EVAL_MATRIX.md regime 3):
+    # geometric recovery re-acquires the surface but cannot restore its
+    # IDENTITY under rotational ambiguity, so it trades mid-sequence
+    # ATE (247 -> 195 mm measured) for a WORSE final-frame EPE
+    # (110 -> 278 mm) — a user tracking to the end of a clip is worse
+    # off. Enable explicitly for mid-sequence-accuracy use cases; a
+    # rotation-robust matcher (feature-seeded recovery,
+    # relocalize_feat_min_points) is the prerequisite for lifting this
+    # default.
+    relocalize_recovery: bool = False
     # feature-based recovery: when the matcher is configured, a Kabsch
     # pose over its (coherence-filtered) blended scene flow seeds the
     # wide-baseline recovery ICP — carrying ROTATION, which geometric
@@ -1015,6 +1026,12 @@ class DynamicFusion:
         # clip's half-out frames). Losing the object entirely first is
         # the discriminator.
         recovering = bool(getattr(self, "track_lost", False))
+        if recovering and not cfg.relocalize_recovery:
+            # end-state guard (default): a geometric recovery cannot
+            # restore surface identity under rotational ambiguity and
+            # measurably degrades final-frame EPE — stay lost unless
+            # recovery is explicitly enabled (see FusionConfig)
+            return 0.0
         if recovering:
             # a substantial observation is also required — recovering
             # against a sliver is as bad as not recovering

@@ -166,6 +166,10 @@ def main():
         "GT for --trajectory scoring; otherwise GT is re-rendered from "
         "the .anime clip)",
     )
+    ap.add_argument("--recovery", action="store_true",
+                    help="enable wide-baseline track-loss recovery "
+                         "(ships default-off: trades final-frame EPE "
+                         "for mid-sequence ATE — EVAL_MATRIX regime 3)")
     ap.add_argument("--keyframe_interval", type=int, default=0,
                     help="enable the keyframe pose graph in the stepwise "
                          "loop (record every N frames; loop closure + "
@@ -335,6 +339,7 @@ def main():
         lepard_subsample=args.lepard_subsample,
         use_flow=flow_params is not None,
         keyframe_interval=args.keyframe_interval,
+        relocalize_recovery=args.recovery,
         flow_downscale=args.flow_downscale,
         flow_mode=args.flow_mode,
         flow_advect_min_px=args.flow_advect_min_px,

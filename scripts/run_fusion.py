@@ -99,6 +99,10 @@ def main():
                          "correspondence source")
     ap.add_argument("--keyframe_interval", type=int, default=0,
                     help="pose-graph keyframe every N frames; 0 = off")
+    ap.add_argument("--recovery", action="store_true",
+                    help="enable wide-baseline track-loss recovery "
+                         "(default-off: see FusionConfig."
+                         "relocalize_recovery)")
     ap.add_argument("--loop_radius", type=float, default=0.3,
                     help="loop-closure search radius between keyframe"
                          " poses (m)")
@@ -188,6 +192,7 @@ def main():
         use_motion_model=motion_params is not None,
         growth_interval=args.growth_interval,
         keyframe_interval=args.keyframe_interval,
+        relocalize_recovery=args.recovery,
         loop_radius=args.loop_radius,
         use_lepard=lepard_params is not None,
         lepard_every=args.lepard_every,

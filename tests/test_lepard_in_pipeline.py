@@ -45,6 +45,7 @@ def test_feature_recovery_seed_runs():
     cfg.lepard_max_target_points = 1024
     cfg.relocalize_feat_min_points = 1
     cfg.relocalize_min_obs_px = 1
+    cfg.relocalize_recovery = True  # wide-baseline recovery is opt-in
     lep_cfg = LepardConfig(
         kpfcn=K.KPFCNConfig(
             pyramid=K.PyramidConfig(
