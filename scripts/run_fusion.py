@@ -92,6 +92,10 @@ def main():
                          "at the model projections (fused engine)")
     ap.add_argument("--flow_mode", default="fill",
                     choices=("fill", "override", "advect"))
+    ap.add_argument("--flow_advect_min_px", type=float, default=0.0)
+    ap.add_argument("--flow_advect_alpha", type=float, default=1.0)
+    ap.add_argument("--flow_advect_weight", type=float, default=1.0)
+    ap.add_argument("--flow_advect_mask", type=float, default=None)
     ap.add_argument("--flow_downscale", type=int, default=1)
     ap.add_argument("--flow_weights", default=None,
                     help="PWC-Net(+MaskNet) checkpoint (train_flow.py "
@@ -199,6 +203,10 @@ def main():
         use_flow=flow_params is not None,
         flow_lift=args.flow_lift,
         flow_mode=args.flow_mode,
+        flow_advect_min_px=args.flow_advect_min_px,
+        flow_advect_alpha=args.flow_advect_alpha,
+        flow_advect_weight=args.flow_advect_weight,
+        flow_advect_mask_threshold=args.flow_advect_mask,
         flow_downscale=args.flow_downscale,
         brick_size=args.brick_size,
         max_bricks=args.max_bricks,

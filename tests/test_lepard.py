@@ -353,6 +353,32 @@ class TestMotionCoherenceFilter:
         # no quorum -> validity passes through even with a tiny tau
         np.testing.assert_array_equal(np.asarray(out), valid)
 
+    def test_sparse_validity_outlier_still_rejected(self):
+        # advisor r4: with few valid anchors globally, the old
+        # self-flow substitution let the tested anchor's own flow
+        # dominate the median slots, guaranteeing an outlier passed
+        # while quorum was met. The masked median must reject it.
+        from occlusionfusion_tpu.models.lepard import motion_coherence_filter
+
+        pts = self._grid()
+        flows = np.tile([0.02, 0.0, 0.0], (pts.shape[0], 1)).astype(
+            np.float32
+        )
+        flows[7] = [0.0, 0.0, 0.3]  # outlier
+        valid = np.zeros(pts.shape[0], bool)
+        # exactly 4 valid anchors: the outlier + 3 coherent neighbors
+        # (k+1=5 median slots; >=3 valid slots meets the >2 quorum)
+        for i in (7, 6, 8, 12):
+            valid[i] = True
+        out = np.asarray(
+            motion_coherence_filter(
+                jnp.asarray(pts), jnp.asarray(flows), jnp.asarray(valid),
+                knn=4, tau=0.08,
+            )
+        )
+        assert not out[7]  # masked median sees only the real neighbors
+        assert out[6] and out[8] and out[12]
+
     def test_scene_flow_coherence_config(self):
         # config plumbing: tau>0 must prune a planted bridge anchor's
         # influence on blended flow
