@@ -335,6 +335,10 @@ def main():
             )
         ),
         use_lepard=lepard_params is not None and not args.lepard_reloc_only,
+        # --lepard_reloc_only exists to measure FEATURE-SEEDED recovery;
+        # since relocalize_feat_min_points ships default-0 (opt-in,
+        # advisor r4), the flag must arm it explicitly or it is a no-op
+        relocalize_feat_min_points=50 if args.lepard_reloc_only else 0,
         lepard_every=args.lepard_every,
         lepard_subsample=args.lepard_subsample,
         use_flow=flow_params is not None,
