@@ -527,7 +527,15 @@ def _supervise():
         rc2 = run_child(
             env2, int(os.environ.get("BENCH_BUDGET_S", "2400")), "envelope"
         )
-        rc = rc or rc2
+        if rc2 != 0:
+            # non-fatal: the default line already proves the build; a
+            # wedged-relay envelope run degrades to one line instead of
+            # reporting total failure
+            print(
+                "[bench] envelope run failed; emitting default line only",
+                file=sys.stderr,
+                flush=True,
+            )
     return rc
 
 
