@@ -14,7 +14,8 @@ from occlusionfusion_tpu.ops.knn import knn_lax
 from occlusionfusion_tpu.solvers.gauss_newton import GNConfig, GNProblem
 from occlusionfusion_tpu.solvers import gauss_newton_dense as GD
 
-P_PTS, N_CAP = 8192, 256
+P_PTS = int(os.environ.get("PROF_P", "8192"))
+N_CAP = int(os.environ.get("PROF_N", "256"))
 def note(m): print(f"[gnsplit] {m}", flush=True)
 note(f"devices: {jax.devices()}")
 r = np.random.RandomState(2)
@@ -74,7 +75,7 @@ def chol_step(s):
     chol, low = jax.scipy.linalg.cho_factor(M0 + s * 0.0)
     x = jax.scipy.linalg.cho_solve((chol, low), -b0)
     return x[0]
-chain_time("cho_factor+solve(1536)", chol_step)
+chain_time("cho_factor+solve({})".format(6 * N_CAP) + "", chol_step)
 
 @jax.jit
 def scatteronly_step(s):
