@@ -13,15 +13,23 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# Serialize the XLA:CPU parallel LLVM codegen. On this 2-core host the
-# compiler's default 32-way codegen split reproducibly ABORTS (SIGSEGV /
-# hard abort mid-compile) when a concurrent CPU-heavy process contends
-# for the cores — three different compile-heavy test modules died this
-# way across rounds 3-5, always at the largest full-pipeline program and
-# always passing solo. One codegen thread removes the race class for a
-# few seconds of extra compile time per big program.
-if "xla_cpu_parallel_codegen_split_count" not in flags:
-    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+# XLA:CPU compiler stability notes (round 5, measured):
+# - The default config (32-way parallel LLVM codegen) nondeterministically
+#   ABORTS the largest full-pipeline compiles when a concurrent CPU-heavy
+#   process contends for the 2 cores (three modules died this way across
+#   rounds 3-5; each passes solo).
+# - Serializing the codegen (--xla_cpu_parallel_codegen_split_count=1)
+#   fixes that race but introduces a WORSE, deterministic crash: after
+#   a few hundred in-process compiles the compiler segfaults on a tiny
+#   program (reproduced 4/4 at tests/test_lepard.py::test_full_depth_config
+#   at suite position 69%, quiet host included; the same test and its
+#   whole module pass in a fresh process). Round-4 full-suite runs with
+#   the default split were green on quiet hosts.
+# Net: keep the DEFAULT compiler config here (quiet-host `pytest tests/`
+# stays green, as in round 4); on contended hosts run
+# `scripts/run_tests.sh`, whose xdist worker-restart + --last-failed
+# retry contains BOTH crash classes (validated green twice under two
+# full-core hogs, logs/pytest_r5_hog{2,3}.log).
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402  (already imported by sitecustomize anyway)
