@@ -152,65 +152,37 @@ class TestTangentialMechanism:
         np.testing.assert_allclose(motion[:, 1:], 0.0, atol=1e-6)
 
 
-class TestAdvectInEngines:
-    @pytest.fixture(scope="class")
-    def fused(self):
-        from tests.test_fused_perception import (
-            config,
-            make_seq,
-        )
-        from occlusionfusion_tpu.fusion.pipeline import DynamicFusion
-        from occlusionfusion_tpu.models.pwcnet import (
-            init_masknet_params,
-            init_pwcnet_params,
-        )
+def test_advect_engines_module():
+    """Launcher: the full-engine advect tests (3 full-pipeline compiles)
+    run in a FRESH interpreter (flow_advect_engines_impl.py).
 
-        seq = make_seq()
-        fusion = DynamicFusion(
-            seq,
-            config(use_flow=True, flow_mode="advect", flow_lift="sparse"),
-            flow_params=init_pwcnet_params(jax.random.PRNGKey(1)),
-            mask_params=init_masknet_params(jax.random.PRNGKey(2)),
-        )
-        fusion.initialize(seq.load(0))
-        return seq, fusion
+    Round-5 finding: the plain full suite deterministically segfaults
+    the XLA:CPU compiler at test_lepard.py::test_full_depth_config
+    (69%) once the session's in-process compile count crosses a
+    threshold — these new heavy compiles were exactly the round-5
+    addition that pushed the (previously green) quiet-host run over
+    it. Same isolation pattern as test_motion_clips /
+    test_tracking_train."""
+    import os
+    import subprocess
+    import sys
 
-    def test_fused_sparse_advect_runs(self, fused):
-        seq, fusion = fused
-        sc, state, tables = fusion.build_fused(None)
-        state, info = fusion.register_frame_fused(
-            sc, state, tables, seq.load(1), None
-        )
-        info = np.asarray(info)
-        assert np.isfinite(info).all()
-        assert info[1] > 0
+    impl = os.path.join(
+        os.path.dirname(__file__), "flow_advect_engines_impl.py"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", impl],
+        capture_output=True,
+        text=True,
+        timeout=1500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    sys.stdout.write(r.stdout[-2000:])
+    assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-2000:]
 
-    def test_stepwise_advect_runs(self, fused):
-        seq, fusion = fused
-        info = fusion.register_frame(seq.load(1))
-        assert np.isfinite(info["final_loss"])
-        assert info["n_correspondences"] > 0
 
-    def test_fused_dense_advect_runs(self):
-        from tests.test_fused_perception import config, make_seq
-        from occlusionfusion_tpu.fusion.pipeline import DynamicFusion
-        from occlusionfusion_tpu.models.pwcnet import init_pwcnet_params
+def test_bad_flow_mode_rejected():
+    from tests.test_fused_perception import config
 
-        seq = make_seq()
-        fusion = DynamicFusion(
-            seq,
-            config(use_flow=True, flow_mode="advect", flow_lift="dense"),
-            flow_params=init_pwcnet_params(jax.random.PRNGKey(1)),
-        )
-        fusion.initialize(seq.load(0))
-        sc, state, tables = fusion.build_fused(None)
-        state, info = fusion.register_frame_fused(
-            sc, state, tables, seq.load(1), None
-        )
-        assert np.isfinite(np.asarray(info)).all()
-
-    def test_bad_flow_mode_rejected(self):
-        from tests.test_fused_perception import config
-
-        with pytest.raises(ValueError, match="flow_mode"):
-            config(flow_mode="telepathy")
+    with pytest.raises(ValueError, match="flow_mode"):
+        config(flow_mode="telepathy")
